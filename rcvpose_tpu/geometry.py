@@ -1,0 +1,102 @@
+"""Pinhole-camera geometry primitives, pure jnp and fully vmappable.
+
+Capability parity with the reference's NumPy geometry helpers
+(``/root/reference/data_loader.py:13-43`` and
+``/root/reference/AccumulatorSpace.py:59-120``), re-designed for TPU:
+
+* back-projection is *dense* — every pixel maps to an (x, y, z) triple plus a
+  validity flag, so downstream ops see static shapes instead of the
+  reference's ``depth.nonzero()`` ragged gather.
+* everything is jit-compatible and batched via ``vmap``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# LINEMOD camera intrinsics (reference: data_loader.py:9-11).
+LINEMOD_K = np.array(
+    [[572.4114, 0.0, 325.2611],
+     [0.0, 573.57043, 242.04899],
+     [0.0, 0.0, 1.0]],
+    dtype=np.float64,
+)
+
+
+def _matmul_f32(a, b):
+    """Small-matrix matmul at full f32 precision (TPU dot defaults to bf16)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def transform_points(xyz, rt):
+    """Apply a rigid transform. ``xyz``: (N, 3); ``rt``: (3, 4) or (4, 4)."""
+    rt = jnp.asarray(rt)
+    return _matmul_f32(xyz, rt[:3, :3].T) + rt[:3, 3]
+
+
+def project(xyz, k, rt):
+    """World points -> (pixel xy, camera-frame xyz).
+
+    Mirrors reference ``project`` (data_loader.py:13-33): returns both the
+    2D pixel coordinates and the rigidly-transformed 3D points.
+    """
+    cam_xyz = transform_points(xyz, rt)
+    uvw = _matmul_f32(cam_xyz, jnp.asarray(k).T)
+    xy = uvw[..., :2] / uvw[..., 2:]
+    return xy, cam_xyz
+
+
+def backproject_dense(depth, k):
+    """Dense depth-map back-projection.
+
+    Args:
+      depth: (H, W) depth image (any unit; zeros = invalid).
+      k: (3, 3) intrinsics.
+
+    Returns:
+      xyz: (H, W, 3) camera-frame points in the same unit as ``depth``
+        (garbage where invalid — gate on ``valid``).
+      valid: (H, W) bool, True where ``depth > 0``.
+
+    TPU-native replacement for reference ``rgbd_to_point_cloud``
+    (data_loader.py:35-43): x = (u - cx) z / fx, y = (v - cy) z / fy over
+    *all* pixels, no ragged ``nonzero`` gather.
+    """
+    depth = jnp.asarray(depth)
+    h, w = depth.shape
+    k = jnp.asarray(k, dtype=depth.dtype if depth.dtype.kind == "f" else jnp.float32)
+    z = depth.astype(k.dtype)
+    us = jnp.arange(w, dtype=k.dtype)[None, :]
+    vs = jnp.arange(h, dtype=k.dtype)[:, None]
+    xs = (us - k[0, 2]) * z / k[0, 0]
+    ys = (vs - k[1, 2]) * z / k[1, 1]
+    xyz = jnp.stack([xs, ys, z], axis=-1)
+    return xyz, depth > 0
+
+
+def depth_to_pointcloud(depth, k, n_points, fill_value=0.0):
+    """Back-project and compact valid pixels into a fixed-size point set.
+
+    Valid points are packed in the reference's row-major pixel order
+    (``depth.nonzero()`` order, reference data_loader.py:36), truncated or
+    padded to ``n_points``.
+
+    Returns:
+      pts: (n_points, 3), padded with ``fill_value``.
+      mask: (n_points,) bool — True for real points.
+      count: () int32 — number of valid pixels (pre-truncation).
+    """
+    xyz, valid = backproject_dense(depth, k)
+    flat_xyz = xyz.reshape(-1, 3)
+    flat_valid = valid.reshape(-1)
+    count = jnp.sum(flat_valid.astype(jnp.int32))
+    # Stable-sort invalid entries to the back, keeping row-major order of the
+    # valid ones (matches the reference's nonzero() ordering).
+    order = jnp.argsort(~flat_valid, stable=True)
+    idx = order[:n_points]
+    pts = flat_xyz[idx]
+    mask = flat_valid[idx]
+    pts = jnp.where(mask[:, None], pts, fill_value)
+    return pts, mask, count

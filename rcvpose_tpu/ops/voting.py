@@ -1,0 +1,302 @@
+"""The 3D radial-voting accumulator — TPU-native redesign.
+
+The reference implementation (``/root/reference/AccumulatorSpace.py:325-419``)
+is a Numba CPU triple loop: for every masked depth pixel it scans the *entire*
+data-dependent voxel grid and increments every voxel whose distance to the
+point falls in the spherical band ``0 < round(r) - d < sqrt(3)/4`` — with an
+unsynchronized ``+=`` data race across threads.
+
+This module re-derives the op for TPU:
+
+* **Static shapes.** The vote grid is a fixed ``L^3`` cube; the data-dependent
+  extent of the reference grid becomes a *validity bound* applied at argmax
+  time. Point sets are padded to a fixed size with a mask.
+* **Pair-evaluation form.** ``votes[v] = sum_n [lo_n < d2(v, n) < hi_n]``
+  over squared distances (no sqrt). With the exact band
+  ``lo = (r - sqrt(3)/4)^2, hi = r^2`` this is equivalent to the reference
+  test ``0 < round(r) - d < sqrt(3)/4``. Deterministic, race-free, and the
+  same kernel (``rcvpose_tpu.ops.vote_pallas``) serves every mode because
+  the voxel list is just data.
+* **Two accuracy modes.**
+  - ``exact``: evaluates the full grid — reference-equivalent vote counts and
+    the reference's first-in-row-major argmax tie-break.
+  - ``hier``: coarse-to-fine — votes on a 4x-coarse grid with a widened band,
+    then densely refines 16^3 windows around the top-K coarse peaks.
+    ~50-100x less work; validated for keypoint/ADD parity rather than
+    per-voxel vote parity.
+
+Reference decode semantics matched exactly (AccumulatorSpace.py:373-419):
+voxel = 5 mm (``acc_unit``); recenter by per-axis mean; radii dm -> voxels
+(x20); ``zero_boundary = int(min - r_max) + 1`` shift when negative;
+``center = (argmax + mean + 0.5) * 5`` mm.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Shell half-thickness: reference ``factor = sqrt(3)/4`` (AccumulatorSpace.py:328).
+VOTE_BAND = math.sqrt(3.0) / 4.0
+ACC_UNIT_MM = 5.0  # reference acc_unit (AccumulatorSpace.py:374)
+
+
+class AccumulatorResult(NamedTuple):
+    center_mm: jax.Array     # (3,) estimated keypoint, millimeters
+    peak_votes: jax.Array    # () vote count at the peak
+    overflow: jax.Array      # () bool: True if the reference's dynamic grid
+    #                            would not fit in the static L^3 cube
+    peak_voxel: jax.Array    # (3,) argmax voxel (shifted-grid coordinates)
+
+
+# ---------------------------------------------------------------------------
+# Band bounds (squared-distance form)
+# ---------------------------------------------------------------------------
+
+def band_votes(d2, r):
+    """Oracle vote indicator. Equivalent to reference ``0 < r - d < sqrt(3)/4``
+    (AccumulatorSpace.py:337-338) for the rounded radii r >= 0."""
+    return jnp.logical_and(d2 < r * r, d2 > (r - VOTE_BAND) ** 2)
+
+
+def exact_band(radii_round, point_mask):
+    """Per-point [lo, hi] d2 bounds for the exact reference band.
+
+    Masked-out points get lo = hi = 0 and can never vote (d2 >= 0 > hi fails).
+    """
+    r = radii_round
+    valid = point_mask & (r > 0)
+    lo = jnp.where(valid, (r - VOTE_BAND) ** 2, 0.0)
+    hi = jnp.where(valid, r * r, 0.0)
+    return lo, hi
+
+
+def widened_band(radii_round, point_mask, slack):
+    """[lo, hi] for the hier coarse stage: band widened by +/- slack."""
+    r = radii_round
+    valid = point_mask & (r > 0)
+    lo = jnp.where(valid, jnp.maximum(r - slack, 0.0) ** 2, 0.0)
+    hi = jnp.where(valid, (r + slack) ** 2, 0.0)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Vote counting backends
+# ---------------------------------------------------------------------------
+
+def vote_counts_reference(voxels, points, radii, point_mask):
+    """O(V*N) direct jnp oracle (small problems / tests only)."""
+    d2 = jnp.sum((voxels[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    votes = band_votes(d2, radii[None, :]) & point_mask[None, :]
+    return jnp.sum(votes.astype(jnp.float32), axis=1)
+
+
+def vote_counts_xla(voxels, points, lo, hi, chunk=512):
+    """Chunked pure-XLA pair evaluation (CPU fallback + kernel cross-check)."""
+    n = points.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        points = jnp.pad(points, ((0, pad), (0, 0)))
+        lo = jnp.pad(lo, (0, pad))
+        hi = jnp.pad(hi, (0, pad))
+
+    def step(acc, args):
+        p, l, h = args
+        d2 = jnp.sum(
+            (voxels[:, None, :] - p[None, :, :]) ** 2, axis=-1)
+        vt = jnp.logical_and(d2 > l[None, :], d2 < h[None, :])
+        return acc + jnp.sum(vt.astype(jnp.float32), axis=1), None
+
+    nchunks = points.shape[0] // chunk
+    acc, _ = jax.lax.scan(
+        step,
+        jnp.zeros(voxels.shape[0], jnp.float32),
+        (points.reshape(nchunks, chunk, 3),
+         lo.reshape(nchunks, chunk),
+         hi.reshape(nchunks, chunk)),
+    )
+    return acc
+
+
+def vote_counts(voxels, points, lo, hi):
+    """Dispatch: Pallas kernel on TPU, chunked XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        from rcvpose_tpu.ops import vote_pallas
+        return vote_pallas.vote_counts_pallas(voxels, points, lo, hi)
+    return vote_counts_xla(voxels, points, lo, hi)
+
+
+def vote_grid_oracle(points, radii, point_mask, grid_l):
+    """Dense (L, L, L) vote grid via separable per-point broadcast (oracle)."""
+    coords = jnp.arange(grid_l, dtype=jnp.float32)
+
+    def step(acc, args):
+        p, r, m = args
+        d2 = ((coords - p[0])[:, None, None] ** 2
+              + (coords - p[1])[None, :, None] ** 2
+              + (coords - p[2])[None, None, :] ** 2)
+        vt = band_votes(d2, r) & m
+        return acc + vt.astype(jnp.float32), None
+
+    acc, _ = jax.lax.scan(
+        step, jnp.zeros((grid_l,) * 3, jnp.float32),
+        (points, radii, point_mask))
+    return acc
+
+
+def enumerate_grid(grid_l):
+    """(L^3, 3) row-major voxel-center list for the exact mode."""
+    c = jnp.arange(grid_l, dtype=jnp.float32)
+    ii, jj, kk = jnp.meshgrid(c, c, c, indexing="ij")
+    return jnp.stack([ii.ravel(), jj.ravel(), kk.ravel()], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Voxelization frame (reference AccumulatorSpace.py:373-399)
+# ---------------------------------------------------------------------------
+
+def _prepare(xyz_m, radial_dm, point_mask):
+    """Voxelize + recenter + shift. All reductions are masked so padded
+    points never influence the grid frame.
+
+    Returns (points_vox, radii_rounded, means, shift, bound).
+    Valid voxel indices are [0, bound) per axis, matching the reference's
+    dynamic grid side ``length + int(r_max)``.
+    """
+    point_mask = jnp.asarray(point_mask)
+    mask_f = point_mask.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(mask_f), 1.0)
+    xyz_vox = jnp.asarray(xyz_m, jnp.float32) * (1000.0 / ACC_UNIT_MM)
+
+    means = jnp.sum(xyz_vox * mask_f[:, None], axis=0) / n
+    centered = xyz_vox - means
+
+    radii_vox = jnp.asarray(radial_dm, jnp.float32) * (100.0 / ACC_UNIT_MM)
+    # Reference rounds with np.around (round-half-even) inside fast_for.
+    radii_round = jnp.round(radii_vox)
+
+    big = jnp.float32(3e38)
+    cmin = jnp.min(jnp.where(point_mask[:, None], centered, big))
+    cmax = jnp.max(jnp.where(point_mask[:, None], centered, -big))
+    rmax = jnp.max(jnp.where(point_mask, radii_vox, -big))
+
+    # zero_boundary = int(min - r_max) + 1; int() truncates toward zero.
+    zero_boundary = jnp.trunc(cmin - rmax) + 1.0
+    shift = jnp.where(zero_boundary < 0, zero_boundary, 0.0)
+    shifted = centered - shift
+
+    length = jnp.trunc(cmax - shift)
+    bound = length + jnp.trunc(rmax)
+    # Keep padded points far outside every band.
+    shifted = jnp.where(point_mask[:, None], shifted, 1e9)
+    return shifted, radii_round, means, shift, bound
+
+
+# ---------------------------------------------------------------------------
+# Public accumulator
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("grid_l", "mode"))
+def accumulate_3d(xyz_m, radial_dm, point_mask, grid_l=192, mode="hier"):
+    """Point cloud (m) + radial predictions (dm) -> keypoint estimate (mm).
+
+    Args:
+      xyz_m: (N, 3) masked-depth point cloud in meters (padded).
+      radial_dm: (N,) predicted radii in decimeters, aligned with ``xyz_m``.
+      point_mask: (N,) bool validity.
+      grid_l: static cube side (the reference's dynamic side is
+        ``length + int(r_max)``; ``overflow`` reports if it exceeds grid_l).
+      mode: 'exact' or 'hier'.
+    """
+    pts, radii_round, means, shift, bound = _prepare(
+        xyz_m, radial_dm, point_mask)
+    if mode == "exact":
+        return _accumulate_exact(pts, radii_round, point_mask, grid_l,
+                                 means, shift, bound)
+    elif mode == "hier":
+        return _accumulate_hier(pts, radii_round, point_mask, grid_l,
+                                means, shift, bound)
+    raise ValueError(f"unknown accumulator mode: {mode}")
+
+
+def _accumulate_exact(pts, radii_round, point_mask, grid_l, means, shift,
+                      bound):
+    lo, hi = exact_band(radii_round, point_mask)
+    votes = vote_counts(enumerate_grid(grid_l), pts, lo, hi)
+    votes = votes.reshape(grid_l, grid_l, grid_l)
+
+    # Mask voxels the reference grid would not contain, then take the first
+    # row-major argmax — same tie-break as np.argwhere(V == V.max())[0].
+    coords = jnp.arange(grid_l, dtype=jnp.float32)
+    inb = coords < bound
+    valid = (inb[:, None, None] & inb[None, :, None]) & inb[None, None, :]
+    masked = jnp.where(valid, votes, -1.0)
+    flat = masked.reshape(-1)
+    flat_idx = jnp.argmax(flat)
+    peak = jnp.stack([flat_idx // (grid_l * grid_l),
+                      (flat_idx // grid_l) % grid_l,
+                      flat_idx % grid_l]).astype(jnp.float32)
+    center = (peak + shift + means + 0.5) * ACC_UNIT_MM
+    return AccumulatorResult(center_mm=center, peak_votes=flat[flat_idx],
+                             overflow=bound > grid_l, peak_voxel=peak)
+
+
+# Hier-mode constants.
+_COARSE = 4   # coarse factor (4x4x4 fine voxels per coarse cell)
+_TOPK = 4     # refine around this many coarse peaks
+_WIN = 16     # fine refine window side per peak
+
+
+def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
+                     bound):
+    """Coarse-to-fine accumulation; same millimeter decode frame as exact."""
+    lc = grid_l // _COARSE
+    cc = jnp.arange(lc, dtype=jnp.float32)
+    ci, cj, ck = jnp.meshgrid(cc, cc, cc, indexing="ij")
+    coarse_vox = (jnp.stack([ci.ravel(), cj.ravel(), ck.ravel()], axis=1)
+                  + 0.5) * _COARSE - 0.5  # center of each coarse cell
+
+    # Any fine voxel inside the exact band lies within
+    # (band + coarse-cell circumradius) of its parent cell's center.
+    slack = VOTE_BAND + math.sqrt(3.0) * _COARSE / 2.0
+    lo_c, hi_c = widened_band(radii_round, point_mask, slack)
+    cvotes = vote_counts(coarse_vox, pts, lo_c, hi_c)
+
+    cb = jnp.ceil(bound / _COARSE)
+    cin = cc < cb
+    cvalid = ((cin[:, None, None] & cin[None, :, None])
+              & cin[None, None, :]).reshape(-1)
+    cvotes = jnp.where(cvalid, cvotes, -1.0)
+    _, top_idx = jax.lax.top_k(cvotes, _TOPK)
+
+    # Dense fine windows around each coarse peak, evaluated in one batch.
+    def window_base(cidx):
+        c = jnp.stack([cidx // (lc * lc), (cidx // lc) % lc,
+                       cidx % lc]).astype(jnp.float32)
+        base = c * _COARSE - (_WIN - _COARSE) // 2
+        return jnp.clip(base, 0, grid_l - _WIN)
+
+    bases = jax.vmap(window_base)(top_idx)  # (K, 3)
+    w = jnp.arange(_WIN, dtype=jnp.float32)
+    wi, wj, wk = jnp.meshgrid(w, w, w, indexing="ij")
+    local = jnp.stack([wi.ravel(), wj.ravel(), wk.ravel()], axis=1)  # (W^3,3)
+    win_vox = (bases[:, None, :] + local[None, :, :]).reshape(-1, 3)
+
+    lo_f, hi_f = exact_band(radii_round, point_mask)
+    fvotes = vote_counts(win_vox, pts, lo_f, hi_f)
+    fvalid = jnp.all(win_vox < bound, axis=1)
+    fvotes = jnp.where(fvalid, fvotes, -1.0).reshape(_TOPK, -1)
+
+    best_per = jnp.max(fvotes, axis=1)
+    kbest = jnp.argmax(best_per)
+    widx = jnp.argmax(fvotes[kbest])
+    local_best = jnp.stack([widx // (_WIN * _WIN), (widx // _WIN) % _WIN,
+                            widx % _WIN]).astype(jnp.float32)
+    peak = bases[kbest] + local_best
+    center = (peak + shift + means + 0.5) * ACC_UNIT_MM
+    return AccumulatorResult(center_mm=center, peak_votes=best_per[kbest],
+                             overflow=bound > grid_l, peak_voxel=peak)

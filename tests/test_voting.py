@@ -1,0 +1,123 @@
+import numpy as np
+import jax.numpy as jnp
+
+from rcvpose_tpu.ops import voting, vote_pallas
+from tests import oracles
+
+
+def synth_cloud(rng, n=200, center=None):
+    """Points on spheres of random radii around a known center (meters)."""
+    if center is None:
+        center = np.array([0.02, -0.01, 0.75])
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    radii_m = rng.uniform(0.03, 0.07, size=n)
+    pts = center + dirs * radii_m[:, None]
+    radial_dm = radii_m * 10.0
+    return pts, radial_dm, center
+
+
+def test_vote_grid_oracle_matches_numpy(rng):
+    pts = rng.uniform(2, 14, size=(30, 3))
+    radii = rng.uniform(1, 6, size=30)
+    grid_np = oracles.vote_grid_np(pts, radii, (16, 16, 16))
+    mask = np.ones(30, bool)
+    grid = voting.vote_grid_oracle(
+        jnp.asarray(pts, jnp.float32), jnp.round(jnp.asarray(radii, jnp.float32)),
+        jnp.asarray(mask), 16)
+    np.testing.assert_array_equal(np.asarray(grid), grid_np)
+
+
+def test_vote_counts_xla_matches_oracle(rng):
+    pts = rng.uniform(2, 14, size=(50, 3)).astype(np.float32)
+    radii = np.round(rng.uniform(1, 6, size=50)).astype(np.float32)
+    mask = rng.uniform(size=50) < 0.8
+    vox = rng.uniform(0, 16, size=(37, 3)).astype(np.float32)
+    ref = voting.vote_counts_reference(
+        jnp.asarray(vox), jnp.asarray(pts), jnp.asarray(radii),
+        jnp.asarray(mask))
+    lo, hi = voting.exact_band(jnp.asarray(radii), jnp.asarray(mask))
+    got = voting.vote_counts_xla(jnp.asarray(vox), jnp.asarray(pts), lo, hi)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_vote_counts_pallas_interpret_matches_oracle(rng):
+    pts = rng.uniform(2, 30, size=(100, 3)).astype(np.float32)
+    radii = np.round(rng.uniform(1, 8, size=100)).astype(np.float32)
+    mask = rng.uniform(size=100) < 0.9
+    vox = rng.uniform(0, 32, size=(300, 3)).astype(np.float32)
+    ref = voting.vote_counts_reference(
+        jnp.asarray(vox), jnp.asarray(pts), jnp.asarray(radii),
+        jnp.asarray(mask))
+    lo, hi = voting.exact_band(jnp.asarray(radii), jnp.asarray(mask))
+    got = vote_pallas.vote_counts_pallas(
+        jnp.asarray(vox), jnp.asarray(pts), lo, hi, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_accumulate_exact_matches_reference_accumulator(rng):
+    """End-to-end parity with a NumPy port of Accumulator_3D on a synthetic
+    sphere cloud whose dynamic grid fits the static cube."""
+    pts, radial_dm, center = synth_cloud(rng, n=150)
+    center_np, side = oracles.accumulator_3d_np(pts, radial_dm)
+    assert side <= 64, f"test construction error: side={side}"
+
+    n_pad = 256
+    pad = n_pad - pts.shape[0]
+    pts_p = np.pad(pts, ((0, pad), (0, 0)))
+    rad_p = np.pad(radial_dm, (0, pad))
+    mask = np.arange(n_pad) < pts.shape[0]
+    res = voting.accumulate_3d(
+        jnp.asarray(pts_p, jnp.float32), jnp.asarray(rad_p, jnp.float32),
+        jnp.asarray(mask), grid_l=64, mode="exact")
+    assert not bool(res.overflow)
+    np.testing.assert_allclose(np.asarray(res.center_mm), center_np, atol=1e-2)
+    # and the estimate should be near the true synthetic center (5 mm voxels)
+    err = np.linalg.norm(np.asarray(res.center_mm) - center * 1000.0)
+    assert err < 10.0, f"keypoint error {err} mm"
+
+
+def test_accumulate_hier_matches_exact_peak(rng):
+    pts, radial_dm, center = synth_cloud(rng, n=300)
+    n_pad = 512
+    pad = n_pad - pts.shape[0]
+    pts_p = jnp.asarray(np.pad(pts, ((0, pad), (0, 0))), jnp.float32)
+    rad_p = jnp.asarray(np.pad(radial_dm, (0, pad)), jnp.float32)
+    mask = jnp.asarray(np.arange(n_pad) < pts.shape[0])
+
+    exact = voting.accumulate_3d(pts_p, rad_p, mask, grid_l=64, mode="exact")
+    hier = voting.accumulate_3d(pts_p, rad_p, mask, grid_l=64, mode="hier")
+    # hier must find a peak at least as voted as... the same basin: centers
+    # within one voxel (5 mm) of each other.
+    d = np.linalg.norm(np.asarray(exact.center_mm) - np.asarray(hier.center_mm))
+    assert d <= 5.0 * np.sqrt(3), (exact.center_mm, hier.center_mm)
+    assert float(hier.peak_votes) >= 0.95 * float(exact.peak_votes)
+
+
+def test_accumulate_overflow_flag(rng):
+    pts, radial_dm, _ = synth_cloud(rng, n=64)
+    mask = jnp.ones(64, bool)
+    res = voting.accumulate_3d(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(radial_dm, jnp.float32),
+        mask, grid_l=16, mode="exact")
+    assert bool(res.overflow)
+
+
+def test_padded_points_do_not_vote(rng):
+    pts, radial_dm, _ = synth_cloud(rng, n=100)
+    mask_full = jnp.ones(100, bool)
+    r1 = voting.accumulate_3d(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(radial_dm, jnp.float32),
+        mask_full, grid_l=64, mode="exact")
+
+    # same cloud + 56 garbage rows masked out
+    garbage = rng.uniform(-5, 5, size=(56, 3))
+    pts2 = np.concatenate([pts, garbage])
+    rad2 = np.concatenate([radial_dm, rng.uniform(0, 99, size=56)])
+    mask2 = jnp.asarray(np.arange(156) < 100)
+    r2 = voting.accumulate_3d(
+        jnp.asarray(pts2, jnp.float32), jnp.asarray(rad2, jnp.float32),
+        mask2, grid_l=64, mode="exact")
+    np.testing.assert_allclose(np.asarray(r1.center_mm),
+                               np.asarray(r2.center_mm), atol=1e-3)
+    assert float(r1.peak_votes) == float(r2.peak_votes)
