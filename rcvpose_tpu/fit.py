@@ -1,0 +1,124 @@
+"""Closed-form rigid pose fitting + ICP refinement, pure jnp.
+
+TPU-native replacement for two host-side native components of the reference:
+
+* ``util/horn.py`` — Horn's 1987 quaternion least-squares fit, there done with
+  a hand-rolled 1-indexed Jacobi eigensolver in Python loops. Here: build the
+  4x4 quaternion matrix N and take the max-eigenvalue eigenvector with
+  ``jnp.linalg.eigh`` — closed form, jit-able, vmappable over frames.
+* Open3D ``registration_icp`` point-to-point (AccumulatorSpace.py:710-715,
+  940-946, 1165-1169) — here a fixed-iteration ``lax.scan``: NN
+  correspondence by brute-force pairwise distances (MXU work at these sizes)
+  followed by a weighted Horn fit per iteration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _quat_to_rot(q):
+    """Unit quaternion (w, x, y, z) -> 3x3 rotation (Horn's convention,
+    util/horn.py:151-159)."""
+    q0, q1, q2, q3 = q[0], q[1], q[2], q[3]
+    return jnp.array([
+        [q0*q0 + q1*q1 - q2*q2 - q3*q3, 2*(q1*q2 - q0*q3), 2*(q1*q3 + q0*q2)],
+        [2*(q1*q2 + q0*q3), q0*q0 + q2*q2 - q1*q1 - q3*q3, 2*(q2*q3 - q0*q1)],
+        [2*(q1*q3 - q0*q2), 2*(q2*q3 + q0*q1), q0*q0 + q3*q3 - q1*q1 - q2*q2],
+    ])
+
+
+def horn_fit(p1, p2, weights=None):
+    """Least-squares rigid transform A (4x4) with A[:3] @ [p1, 1] ~= p2.
+
+    Args:
+      p1: (N, 3) source points.
+      p2: (N, 3) destination points.
+      weights: optional (N,) non-negative weights (masked correspondences).
+
+    Returns: (4, 4) homogeneous transform.
+    """
+    p1 = jnp.asarray(p1, jnp.float32)
+    p2 = jnp.asarray(p2, jnp.float32)
+    if weights is None:
+        weights = jnp.ones(p1.shape[0], jnp.float32)
+    w = weights.astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    c1 = jnp.sum(p1 * w[:, None], axis=0) / wsum
+    c2 = jnp.sum(p2 * w[:, None], axis=0) / wsum
+    q1 = p1 - c1
+    q2 = p2 - c2
+    # S[a, b] = sum_i w_i * q1[i, a] * q2[i, b]
+    s = jnp.einsum("i,ia,ib->ab", w, q1, q2,
+                   precision=jax.lax.Precision.HIGHEST)
+    sxx, sxy, sxz = s[0, 0], s[0, 1], s[0, 2]
+    syx, syy, syz = s[1, 0], s[1, 1], s[1, 2]
+    szx, szy, szz = s[2, 0], s[2, 1], s[2, 2]
+    n = jnp.array([
+        [sxx + syy + szz, syz - szy, szx - sxz, sxy - syx],
+        [syz - szy, sxx - syy - szz, sxy + syx, szx + sxz],
+        [szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy],
+        [sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz],
+    ])
+    _, vecs = jnp.linalg.eigh(n)  # ascending eigenvalues
+    q = vecs[:, -1]
+    r = _quat_to_rot(q)
+    t = c2 - r @ c1
+    a = jnp.eye(4, dtype=jnp.float32)
+    a = a.at[:3, :3].set(r)
+    a = a.at[:3, 3].set(t)
+    return a
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def icp_point_to_point(source, target, target_mask, init, threshold,
+                       max_iters=30):
+    """Point-to-point ICP: align ``source`` onto ``target``.
+
+    Mirrors Open3D ``registration_icp(source, target, threshold, init,
+    TransformationEstimationPointToPoint())`` with a fixed iteration count
+    (the reference runs default criteria = 30 iterations,
+    AccumulatorSpace.py:710-715).
+
+    Args:
+      source: (S, 3) model points (e.g. CAD vertices, mm).
+      target: (T, 3) scene points, padded.
+      target_mask: (T,) bool validity of scene points.
+      init: (4, 4) initial transform.
+      threshold: max correspondence distance (same unit as points).
+      max_iters: fixed iteration count.
+
+    Returns: (4, 4) refined transform.
+    """
+    source = jnp.asarray(source, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    big = jnp.float32(1e30)
+    t2 = jnp.sum(target * target, axis=1)
+
+    def nn(src_tf):
+        # d2[s, t] via |s|^2 - 2 s.t + |t|^2 (MXU), masked targets excluded
+        d2 = (jnp.sum(src_tf * src_tf, axis=1)[:, None]
+              - 2.0 * jnp.matmul(src_tf, target.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+              + t2[None, :])
+        d2 = jnp.where(target_mask[None, :], d2, big)
+        idx = jnp.argmin(d2, axis=1)
+        dmin = jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+        return idx, jnp.sqrt(jnp.maximum(dmin, 0.0))
+
+    def step(rt, _):
+        src_tf = source @ rt[:3, :3].T + rt[:3, 3]
+        idx, dist = nn(src_tf)
+        w = (dist <= threshold).astype(jnp.float32)
+        enough = jnp.sum(w) >= 3.0
+        corr = target[idx]
+        delta = horn_fit(src_tf, corr, weights=w)
+        new_rt = jnp.where(enough, delta @ rt, rt)
+        return new_rt, None
+
+    rt, _ = jax.lax.scan(step, jnp.asarray(init, jnp.float32), None,
+                         length=max_iters)
+    return rt

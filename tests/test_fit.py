@@ -1,0 +1,79 @@
+import numpy as np
+import jax.numpy as jnp
+
+from rcvpose_tpu import fit
+from tests import oracles
+from tests.test_geometry import random_pose
+
+
+def test_horn_recovers_exact_transform(rng):
+    rt = random_pose(rng)
+    p1 = rng.normal(size=(3, 3)) * 50.0  # 3 keypoints, like the eval path
+    p2 = p1 @ rt[:3, :3].T + rt[:3, 3]
+    a = np.asarray(fit.horn_fit(p1, p2))
+    np.testing.assert_allclose(a[:3, :3], rt[:3, :3], atol=1e-4)
+    np.testing.assert_allclose(a[:3, 3], rt[:3, 3], atol=1e-3)
+
+
+def test_horn_matches_numpy_oracle_noisy(rng):
+    rt = random_pose(rng)
+    p1 = rng.normal(size=(20, 3)) * 10.0
+    p2 = p1 @ rt[:3, :3].T + rt[:3, 3] + rng.normal(size=(20, 3)) * 0.05
+    a = np.asarray(fit.horn_fit(p1, p2))
+    a_np = oracles.horn_fit_np(p1.copy(), p2.copy())
+    np.testing.assert_allclose(a, a_np, atol=1e-3)
+
+
+def test_horn_weighted_ignores_outliers(rng):
+    rt = random_pose(rng)
+    p1 = rng.normal(size=(10, 3)) * 10.0
+    p2 = p1 @ rt[:3, :3].T + rt[:3, 3]
+    p1n = np.concatenate([p1, rng.normal(size=(5, 3)) * 100])
+    p2n = np.concatenate([p2, rng.normal(size=(5, 3)) * 100])
+    w = np.concatenate([np.ones(10), np.zeros(5)])
+    a = np.asarray(fit.horn_fit(p1n, p2n, weights=jnp.asarray(w)))
+    np.testing.assert_allclose(a[:3, :3], rt[:3, :3], atol=1e-4)
+
+
+def test_icp_converges_from_perturbed_init(rng):
+    rt = random_pose(rng)
+    model = rng.normal(size=(200, 3)) * 0.05
+    scene = model @ rt[:3, :3].T + rt[:3, 3]
+
+    # perturb init: small rotation + translation offset
+    d = 0.03
+    perturb = np.eye(4)
+    ang = 0.05
+    perturb[:3, :3] = np.array([
+        [np.cos(ang), -np.sin(ang), 0],
+        [np.sin(ang), np.cos(ang), 0],
+        [0, 0, 1]])
+    init = np.eye(4)
+    init[:3, :3] = perturb[:3, :3] @ rt[:3, :3]
+    init[:3, 3] = rt[:3, 3] + d
+
+    mask = jnp.ones(scene.shape[0], bool)
+    out = np.asarray(fit.icp_point_to_point(
+        jnp.asarray(model, jnp.float32), jnp.asarray(scene, jnp.float32),
+        mask, jnp.asarray(init, jnp.float32), threshold=0.1))
+    est = model @ out[:3, :3].T + out[:3, 3]
+    err = np.linalg.norm(est - scene, axis=1).mean()
+    assert err < 1e-3, f"ICP residual {err}"
+
+
+def test_icp_respects_target_mask(rng):
+    rt = random_pose(rng)
+    model = rng.normal(size=(100, 3)) * 0.05
+    scene = model @ rt[:3, :3].T + rt[:3, 3]
+    garbage = rng.normal(size=(50, 3)) * 10.0
+    target = np.concatenate([scene, garbage])
+    mask = jnp.asarray(np.arange(150) < 100)
+    init = np.eye(4)
+    init[:3, :3] = rt[:3, :3]
+    init[:3, 3] = rt[:3, 3] + 0.02
+    out = np.asarray(fit.icp_point_to_point(
+        jnp.asarray(model, jnp.float32), jnp.asarray(target, jnp.float32),
+        mask, jnp.asarray(init, jnp.float32), threshold=0.1))
+    est = model @ out[:3, :3].T + out[:3, 3]
+    err = np.linalg.norm(est - scene, axis=1).mean()
+    assert err < 1e-3
