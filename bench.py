@@ -1,0 +1,95 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures the end-to-end RGB-D pose path on the available accelerator:
+DenseFCNResNet152 forward (480x640, bf16) + 3x radial-vote accumulation
+(hier mode Pallas path on TPU) + Horn fit, per frame. This is the per-frame
+compute of the reference eval pipeline (AccumulatorSpace.py:564-662), which
+the reference instrumented but never reported (net_time/acc_time,
+SURVEY.md §6).
+
+Baseline: the BASELINE.json north star of 30 RGB-D frames/sec/chip.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 30.0  # north-star target (BASELINE.md)
+
+
+def build_frame_fn(cfg):
+    from rcvpose_tpu import eval as eval_mod
+    from rcvpose_tpu import fit
+    from rcvpose_tpu import train as train_mod
+    from rcvpose_tpu import geometry
+
+    model = train_mod.build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+    k = jnp.asarray(geometry.LINEMOD_K, jnp.float32)
+
+    def frame(variables, image, depth, max_radii, gt_kpts_mm):
+        seg, radial = model.apply(variables, image[None], False)
+        sem_map = seg[0, :, :, 0]
+        radial_map = radial[0, :, :, 0]
+
+        def one_kpt(max_r):
+            center, overflow, count, pts, mask = eval_mod.keypoint_from_maps(
+                sem_map, radial_map, depth, k, max_r, jnp.float32(0.8),
+                n_points=cfg.max_points, grid_l=cfg.vote_grid_l,
+                mode=cfg.vote_mode)
+            return center
+
+        centers = jax.vmap(one_kpt)(max_radii)
+        rt = fit.horn_fit(gt_kpts_mm, centers)
+        return rt, centers
+
+    return jax.jit(frame), variables
+
+
+def main():
+    from rcvpose_tpu.config import Config
+
+    backend = jax.default_backend()
+    cfg = Config(compute_dtype="bfloat16" if backend != "cpu" else "float32",
+                 vote_grid_l=192 if backend != "cpu" else 64,
+                 max_points=8192 if backend != "cpu" else 1024,
+                 vote_mode="hier")
+
+    frame_fn, variables = build_frame_fn(cfg)
+
+    rng = np.random.default_rng(0)
+    h, w = (480, 640) if backend != "cpu" else (96, 128)
+    image = jnp.asarray(rng.normal(size=(h, w, 3)), jnp.float32)
+    depth = np.zeros((h, w), np.float32)
+    ys, xs = np.mgrid[h // 3:2 * h // 3, w // 3:2 * w // 3]
+    depth[ys, xs] = rng.uniform(600, 900, size=ys.shape)
+    depth = jnp.asarray(depth)
+    max_radii = jnp.asarray([2.0, 2.2, 2.4], jnp.float32)
+    gt_kpts = jnp.asarray(rng.normal(size=(3, 3)) * 100, jnp.float32)
+
+    # warmup/compile
+    rt, centers = frame_fn(variables, image, depth, max_radii, gt_kpts)
+    jax.block_until_ready(rt)
+
+    iters = 10 if backend != "cpu" else 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rt, centers = frame_fn(variables, image, depth, max_radii, gt_kpts)
+    jax.block_until_ready(rt)
+    dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "rgbd_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

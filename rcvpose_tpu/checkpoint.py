@@ -1,0 +1,200 @@
+"""Checkpointing: orbax save/restore + torch-checkpoint importer.
+
+Replaces the reference's ``torch.save`` dict / ``utils.load_checkpoint``
+(``/root/reference/train.py:118-131``, ``utils.py:39-54``) with orbax. The
+saved payload carries the same information: params (model_state_dict),
+opt_state (optim_state_dict), step/epoch, best validation score. Unlike the
+reference, resume actually resumes (the reference resets ``self.epoch = 0``
+right after restoring — train.py:50).
+
+``import_torch_checkpoint`` maps a reference ``.pth.tar`` state dict onto the
+Flax parameter tree so pretrained reference weights can drive the TPU eval
+pipeline (numerical-parity bridge; reference ckpt layout documented at
+AccumulatorSpace.py:520-530).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    """Orbax-backed ckpt/best-ckpt pair (reference 'ckpt.pth.tar' +
+    'model_best.pth.tar' convention, train.py:118-131)."""
+
+    def __init__(self, directory):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _payload(self, state, epoch, iteration, best_val):
+        return {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(epoch),
+            "iteration": np.asarray(iteration),
+            "best_val": np.asarray(best_val),
+        }
+
+    def save(self, state, epoch, iteration, best_val, is_best=False):
+        payload = self._payload(state, epoch, iteration, best_val)
+        path = os.path.join(self.directory, "ckpt")
+        self._ckpt.save(path, payload, force=True)
+        self._ckpt.wait_until_finished()
+        if is_best:
+            best = os.path.join(self.directory, "model_best")
+            self._ckpt.save(best, payload, force=True)
+            self._ckpt.wait_until_finished()
+
+    def restore(self, state, best=False):
+        """Returns (state, epoch, iteration, best_val)."""
+        name = "model_best" if best else "ckpt"
+        path = os.path.join(self.directory, name)
+        template = self._payload(state, 0, 0, float("inf"))
+        payload = self._ckpt.restore(path, template)
+        new_state = state.replace(
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+            step=int(payload["step"]),
+        )
+        return (new_state, int(payload["epoch"]), int(payload["iteration"]),
+                float(payload["best_val"]))
+
+
+# ---------------------------------------------------------------------------
+# Torch -> Flax weight import
+# ---------------------------------------------------------------------------
+
+def _conv_w(t):
+    # torch OIHW -> flax HWIO
+    return np.transpose(np.asarray(t), (2, 3, 1, 0))
+
+
+def _set(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def torch_key_to_flax(key):
+    """Map one reference state-dict key to (collection, flax path).
+
+    Reference module names (models/fcnresnet.py): conv1/bn1, block{s}up,
+    block{s}.{i} (Sequential), conv6/bn6, conv_up{k}.{0,1} (Sequential of
+    conv+bn), conv7.{0,1}, conv8, and bottleneck-internal conv1..3/bn1..3 +
+    upsample_.{0,1} (the projection shortcut). DataParallel prefixes
+    'module.' (README.md:52).
+    """
+    key = re.sub(r"^module\.", "", key)
+    parts = key.split(".")
+
+    def leaf(pname):
+        return {
+            "weight": ("params", "kernel"), "bias": ("params", "bias"),
+        }[pname]
+
+    def bn_leaf(pname):
+        return {
+            "weight": ("params", "scale"), "bias": ("params", "bias"),
+            "running_mean": ("batch_stats", "mean"),
+            "running_var": ("batch_stats", "var"),
+        }.get(pname)
+
+    def bottleneck_member(member, pname, prefix):
+        # member in conv1..conv3, bn1..bn3, upsample_
+        if member.startswith("conv"):
+            col, l = leaf(pname)
+            return col, prefix + [member, l]
+        if member.startswith("bn"):
+            m = bn_leaf(pname)
+            if m is None:
+                return None
+            return m[0], prefix + [member, m[1]]
+        return None  # e.g. num_batches_tracked
+
+    head = parts[0]
+    # encoder stem
+    if head == "conv1":
+        col, l = leaf(parts[1])
+        return col, ["encoder", "conv1", l]
+    if head == "bn1":
+        m = bn_leaf(parts[1])
+        return (m[0], ["encoder", "bn1", m[1]]) if m else None
+    # encoder stages
+    m_up = re.match(r"block(\d)up$", head)
+    if m_up:
+        member = parts[1]
+        if member == "upsample_":
+            sub = parts[2]  # '0' conv, '1' bn
+            pname = parts[3]
+            if sub == "0":
+                col, l = leaf(pname)
+                return col, ["encoder", head, "proj_conv", l]
+            m = bn_leaf(pname)
+            return (m[0], ["encoder", head, "proj_bn", m[1]]) if m else None
+        return bottleneck_member(member, parts[2], ["encoder", head])
+    m_blk = re.match(r"block(\d)$", head)
+    if m_blk:
+        idx = int(parts[1]) + 1  # Sequential index 0 -> our _1
+        name = f"block{m_blk.group(1)}_{idx}"
+        return bottleneck_member(parts[2], parts[3], ["encoder", name])
+    # neck + decoder
+    if head == "conv6":
+        col, l = leaf(parts[1])
+        return col, ["conv6", l]
+    if head == "bn6":
+        m = bn_leaf(parts[1])
+        return (m[0], ["bn6", m[1]]) if m else None
+    m_seq = re.match(r"(conv_up\d|conv7)$", head)
+    if m_seq:
+        sub, pname = parts[1], parts[2]
+        if sub == "0":
+            col, l = leaf(pname)
+            return col, [head + "_conv", l]
+        m = bn_leaf(pname)
+        return (m[0], [head + "_bn", m[1]]) if m else None
+    m_lift = re.match(r"conv_up\d_1$", head)
+    if m_lift:
+        col, l = leaf(parts[1])
+        return col, [head, l]
+    if head == "conv8":
+        col, l = leaf(parts[1])
+        return col, ["conv8", l]
+    return None
+
+
+def import_torch_state_dict(state_dict):
+    """Reference state dict (tensor-like values) -> {'params':..,
+    'batch_stats':..} nested dicts matching the Flax models."""
+    out = {"params": {}, "batch_stats": {}}
+    for key, tensor in state_dict.items():
+        mapped = torch_key_to_flax(key)
+        if mapped is None:
+            continue
+        col, path = mapped
+        arr = np.asarray(tensor)
+        if path[-1] == "kernel":
+            arr = _conv_w(arr)
+        _set(out[col], path, arr)
+    return out
+
+
+def import_torch_checkpoint(path):
+    """Load a reference .pth.tar and return Flax variables. The payload is a
+    dict with 'model_state_dict' (train.py:118-128) or a bare state dict."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("model_state_dict", payload) if isinstance(payload, dict) \
+        else payload
+    return import_torch_state_dict({k: v.numpy() for k, v in sd.items()})

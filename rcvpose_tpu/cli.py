@@ -1,0 +1,122 @@
+"""Single CLI for the framework: train / test / benchmark.
+
+Replaces the reference's two divergent argument parsers (main.py:13-56 and
+AccumulatorSpace.py:1202-1227) — including the ``--using_ckpts`` flag that
+main.py forgot — with one parser over the typed Config. Boolean flags are
+real booleans (the reference's ``type=bool`` flags were always truthy,
+main.py:50-55).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+
+from rcvpose_tpu.config import Config
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(prog="rcvpose-tpu")
+    defaults = Config()
+    parser.add_argument("--mode", default=defaults.mode,
+                        choices=["train", "test", "benchmark"])
+    parser.add_argument("--dname", "--dataset", dest="dataset",
+                        default=defaults.dataset, choices=["lm", "lmo", "ycb"])
+    parser.add_argument("--root_dataset", default=defaults.root_dataset)
+    parser.add_argument("--class_name", default=defaults.class_name)
+    parser.add_argument("--kpt_num", type=int, default=defaults.kpt_num)
+    parser.add_argument("--optim", default=defaults.optim,
+                        choices=["adam", "sgd", "Adam", "SGD"])
+    parser.add_argument("--batch_size", type=int, default=defaults.batch_size)
+    parser.add_argument("--initial_lr", type=float,
+                        default=defaults.initial_lr)
+    parser.add_argument("--max_iterations", type=int,
+                        default=defaults.max_iterations)
+    parser.add_argument("--resume_train", action="store_true")
+    parser.add_argument("--model_dir", default=defaults.model_dir)
+    parser.add_argument("--out_dir", default=defaults.out_dir)
+    parser.add_argument("--model", default=defaults.model,
+                        choices=["dense", "res"])
+    parser.add_argument("--compute_dtype", default=defaults.compute_dtype,
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--vote_mode", default=defaults.vote_mode,
+                        choices=["hier", "exact"])
+    parser.add_argument("--vote_grid_l", type=int,
+                        default=defaults.vote_grid_l)
+    parser.add_argument("--using_ckpts", action="store_true", default=True)
+    parser.add_argument("--no_ckpts", dest="using_ckpts",
+                        action="store_false",
+                        help="use precomputed estRadialMap npy files")
+    parser.add_argument("--demo_mode", action="store_true")
+    parser.add_argument("--test_occ", action="store_true")
+    parser.add_argument("--seed", type=int, default=defaults.seed)
+    return parser
+
+
+def config_from_args(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = Config()
+    for field in dataclasses.fields(Config):
+        if hasattr(args, field.name):
+            setattr(cfg, field.name, getattr(args, field.name))
+    cfg.optim = cfg.optim.lower()
+    return cfg
+
+
+def run_train(cfg):
+    import jax
+
+    from rcvpose_tpu import parallel, train, utils
+    from rcvpose_tpu.checkpoint import Checkpointer
+    from rcvpose_tpu.data.loader import make_loaders
+
+    log_dir = utils.get_log_dir(cfg)
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(logdir=log_dir + "/tbLog/")
+    except ImportError:
+        writer = None
+
+    train_loader, val_loader = make_loaders(cfg)
+    steps_per_epoch = max(len(train_loader), 1)
+    mesh = parallel.data_mesh()
+    state = train.create_state(cfg, jax.random.PRNGKey(cfg.seed),
+                               steps_per_epoch=steps_per_epoch)
+    ckpt = Checkpointer(log_dir + "/ckpts")
+    trainer = train.Trainer(
+        cfg=cfg, state=state, mesh=mesh,
+        train_batches=lambda epoch: iter(train_loader),
+        val_batches=lambda: iter(val_loader),
+        checkpointer=ckpt, writer=writer)
+    if cfg.resume_train:
+        state, epoch, iteration, best = ckpt.restore(state, best=True)
+        trainer.state, trainer.iteration, trainer.best_val = \
+            state, iteration, best
+    max_epochs = int(math.ceil(cfg.max_iterations / steps_per_epoch))
+    trainer.fit(max_epochs)
+
+
+def run_test(cfg):
+    from rcvpose_tpu import eval as eval_mod
+
+    if cfg.dataset == "ycb":
+        return eval_mod.estimate_6d_pose_ycb(cfg)
+    if cfg.test_occ or cfg.dataset == "lmo":
+        return eval_mod.estimate_6d_pose_lmo(cfg)
+    return eval_mod.estimate_6d_pose_lm(cfg)
+
+
+def main(argv=None):
+    cfg = config_from_args(argv)
+    if cfg.mode == "train":
+        run_train(cfg)
+    elif cfg.mode == "test":
+        run_test(cfg)
+    else:
+        import runpy
+        runpy.run_path("bench.py", run_name="__main__")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Single typed configuration for the whole framework.
+
+Replaces the reference's split-brain setup — argparse flags in ``main.py``
+(with string-typed ``--batch_size``/``--kpt_num`` and always-true bool flags,
+main.py:35-55), a *second* divergent parser in ``AccumulatorSpace.py:1202-1227``
+(whose ``--using_ckpts`` flag main.py lacks but Trainer.Test needs), and a
+hardcoded hyperparameter dict (utils.py:16-27) — with one dataclass and one
+CLI (see ``rcvpose_tpu.cli``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # --- task ---
+    mode: str = "train"               # train | test | gen-labels | benchmark
+    dataset: str = "lm"               # lm | lmo | ycb
+    root_dataset: str = "./datasets/LINEMOD"
+    class_name: str = "ape"
+    kpt_num: int = 1                  # keypoint index into Outside9.npy
+    # --- training (reference utils.py:16-27, train.py:184-186) ---
+    optim: str = "adam"               # adam | sgd
+    initial_lr: float = 1e-4
+    momentum: float = 0.9             # sgd momentum (train.py:43)
+    batch_size: int = 4
+    max_iterations: int = 700_000
+    lr_decay_epochs: int = 70         # lr /= 10 every N epochs
+    lr_decay_factor: float = 0.1
+    resume_train: bool = False
+    val_interval_epochs: int = 1      # validate every epoch (reference)
+    # --- model ---
+    model: str = "dense"              # dense | res
+    compute_dtype: str = "bfloat16"   # bfloat16 | float32
+    image_height: int = 480
+    image_width: int = 640
+    # --- accumulator ---
+    vote_grid_l: int = 192
+    vote_mode: str = "hier"           # hier | exact
+    max_points: int = 8192            # padded point-cloud size for voting
+    # --- eval ---
+    using_ckpts: bool = True          # net inference vs precomputed radial maps
+    sem_threshold: float = 0.8        # lm (AccumulatorSpace.py:603); lmo uses 0.5
+    icp_iters: int = 30
+    demo_mode: bool = False
+    test_occ: bool = False
+    # --- infra ---
+    out_dir: str = "logs"
+    model_dir: str = "ckpts"
+    seed: int = 0
+    num_prefetch: int = 2             # host->device prefetch depth
+    mesh_data_axis: Optional[int] = None  # None = all local devices
+
+    def log_dir(self):
+        return os.path.join(self.out_dir, self.dataset,
+                            f"{self.class_name}Kp{self.kpt_num}")
+
+    def dump(self, path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2, sort_keys=True)
+
+    @classmethod
+    def load(cls, path):
+        with open(path) as f:
+            return cls(**json.load(f))

@@ -1,0 +1,83 @@
+"""Dataset indexing for LINEMOD (+ Occlusion-LINEMOD paths, YCB HDF5).
+
+Mirrors the reference ``RMapDataset`` layout (rmap_dataset.py:31-68):
+
+  <root>/<class>/JPEGImages/%s.jpg
+  <root>/<class>/data/depth%d.dpt
+  <root>/<class>/mask/%04d.png
+  <root>/<class>/pose/pose%d.npy
+  <root>/<class>/Split/{train,val}.txt
+  <root>/<class>/mesh.ply              (CAD, millimeters)
+  <root>/<class>/Outside9.npy          (dispersed keypoints, meters)
+
+The reference trains and validates on the *val* split for both loaders
+(data_loader.py:123) — kept as the default here (``train_split='val'``) for
+behavioral parity, overridable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from rcvpose_tpu.data import readers
+
+
+class LinemodDataset:
+    def __init__(self, root, class_name, kpt_num=1, split="val"):
+        self.root = root
+        self.class_name = class_name
+        self.kpt_num = int(kpt_num)
+        self.split = split
+        base = os.path.join(root, class_name)
+        self._img = os.path.join(base, "JPEGImages", "%s.jpg")
+        self._depth = os.path.join(base, "data", "depth%s.dpt")
+        self._mask = os.path.join(base, "mask", "%s.png")
+        self._pose = os.path.join(base, "pose", "pose%s.npy")
+        split_path = os.path.join(base, "Split", f"{split}.txt")
+        with open(split_path) as f:
+            self.ids = [line.strip() for line in f if line.strip()]
+
+        # CAD model (mm on disk, reference divides by 1000 — rmap_dataset.py:42)
+        self.cad_points_mm = readers.read_ply_points(
+            os.path.join(base, "mesh.ply"))
+        self.cad_points_m = self.cad_points_mm / 1000.0
+
+        kpt_path = os.path.join(base, "Outside9.npy")
+        if os.path.isfile(kpt_path):
+            self.keypoints = np.load(kpt_path)
+        else:
+            self.keypoints = readers.dispersed_keypoints(self.cad_points_mm)
+            np.save(kpt_path, self.keypoints)
+        self.kpt = self.keypoints[self.kpt_num]
+
+        # max radius (dm) from CAD vertices to this keypoint
+        # (rmap_dataset.py:53-56)
+        d = np.linalg.norm(self.cad_points_m - self.kpt, axis=1)
+        self.max_radii_dm = float(d.max() * 10.0)
+
+    def __len__(self):
+        return len(self.ids)
+
+    def raw(self, index):
+        """Raw per-frame arrays; label generation happens on device
+        (rcvpose_tpu.labels.make_sample)."""
+        img_id = self.ids[index]
+        n = str(int(img_id))
+        return {
+            "image": readers.read_image(self._img % img_id),
+            "depth": readers.read_depth(self._depth % n),
+            "mask": readers.read_mask(self._mask % n.zfill(4)),
+            "pose": np.load(self._pose % n),
+            "img_id": img_id,
+        }
+
+    def max_radii_for(self, kpt_indices):
+        """Per-keypoint max radii in dm (eval path,
+        AccumulatorSpace.py:544-549)."""
+        out = []
+        for k in kpt_indices:
+            d = np.linalg.norm(self.cad_points_m - self.keypoints[k], axis=1)
+            out.append(float(d.max() * 10.0))
+        return np.asarray(out)

@@ -1,0 +1,119 @@
+"""Batching + background prefetch, replacing torch DataLoader(num_workers=1).
+
+Host threads read and stack raw frames; GT label generation runs *on device*
+as one vmapped jit program per batch (the SURVEY.md §2.2 north star: the
+reference burns CPU in a Numba scatter per sample inside the DataLoader
+worker — here the TPU does it as dense elementwise math fused with the
+normalize step).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rcvpose_tpu import labels
+
+
+def _stack_raw(samples):
+    return {
+        "image": np.stack([s["image"] for s in samples]),
+        "depth": np.stack([s["depth"] for s in samples]).astype(np.float32),
+        "mask": np.stack([s["mask"] for s in samples]),
+        "pose": np.stack([s["pose"] for s in samples]).astype(np.float32),
+    }
+
+
+class BatchLoader:
+    """Iterable of device-ready batches {image, radial, sem}."""
+
+    def __init__(self, dataset, k, batch_size, shuffle=True, seed=0,
+                 prefetch=2, drop_last=True, ycb_clip=False):
+        self.ds = dataset
+        self.k = np.asarray(k, np.float32)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.ycb_clip = ycb_clip
+
+        kpt = jnp.asarray(self.ds.kpt, jnp.float32)
+        kmat = jnp.asarray(self.k)
+        maxr = jnp.float32(self.ds.max_radii_dm)
+        clip = ycb_clip
+
+        @jax.jit
+        def transform_batch(image, depth, mask, pose):
+            def one(img, dep, msk, pse):
+                im = labels.normalize_image(img)
+                radial, sem = labels.radial_labels(
+                    dep, msk, pse, kpt, kmat, maxr, ycb_clip=clip)
+                return im, radial, sem
+            im, radial, sem = jax.vmap(one)(image, depth, mask, pose)
+            # even-crop (reference data_loader.py:97-101)
+            h = im.shape[1] - im.shape[1] % 2
+            w = im.shape[2] - im.shape[2] % 2
+            return {"image": im[:, :h, :w], "radial": radial[:, :h, :w],
+                    "sem": sem[:, :h, :w]}
+
+        self._transform = transform_batch
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_order(self):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx
+
+    def __iter__(self):
+        order = self._index_order()
+        nb = len(self)
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for b in range(nb):
+                    sel = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    samples = [self.ds.raw(int(i)) for i in sel]
+                    q.put(_stack_raw(samples))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield self._transform(item["image"], item["depth"],
+                                  item["mask"], item["pose"])
+
+
+def make_loaders(cfg, dataset_cls=None):
+    """(train_loader, val_loader) — both on the 'val' split by default, as
+    the reference does (data_loader.py:123)."""
+    from rcvpose_tpu import geometry
+    from rcvpose_tpu.data.dataset import LinemodDataset
+
+    dataset_cls = dataset_cls or LinemodDataset
+    train_ds = dataset_cls(cfg.root_dataset, cfg.class_name,
+                           kpt_num=cfg.kpt_num, split="val")
+    val_ds = dataset_cls(cfg.root_dataset, cfg.class_name,
+                         kpt_num=cfg.kpt_num, split="val")
+    k = geometry.LINEMOD_K
+    ycb = cfg.dataset != "lm"
+    train = BatchLoader(train_ds, k, cfg.batch_size, shuffle=True,
+                        seed=cfg.seed, prefetch=cfg.num_prefetch,
+                        ycb_clip=ycb)
+    val = BatchLoader(val_ds, k, cfg.batch_size, shuffle=False,
+                      seed=cfg.seed, prefetch=cfg.num_prefetch, ycb_clip=ycb)
+    return train, val

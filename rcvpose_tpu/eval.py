@@ -1,0 +1,406 @@
+"""End-to-end 6DoF pose evaluation pipelines (LINEMOD / LMO / YCB-Video).
+
+Rebuild of the reference evaluators (``/root/reference/AccumulatorSpace.py``:
+``estimate_6d_pose_lm`` :495-740, ``estimate_6d_pose_lmo`` :742-974,
+``estimate_6d_pose_ycb`` :976-1197) with the per-frame compute path fully on
+device: network forward -> sem threshold + radius clip -> point-cloud packing
+-> 3x radial-vote accumulation (vmapped) -> Horn fit -> ADD(-S) -> ICP ->
+ADD(-S). The reference round-trips host<->GPU once per keypoint and runs
+voting + ICP + metrics on the host CPU; here image decode and file IO are the
+only host work.
+
+Behavioral notes (documented divergences from reference bugs):
+* radial values and scene points are aligned on pixels where
+  ``sem AND depth > 0`` — the reference's ``using_ckpts`` path misaligns the
+  two lists when the mask overlaps depth holes (AccumulatorSpace.py:609-610
+  vs :606); its precomputed-map path (:612-618) is aligned and is what we
+  match.
+* ICP union-cloud deduplication (:620-625, O(N^2) python) is replaced by
+  concatenation; duplicated scene points do not change point-to-point ICP
+  correspondences materially and never change ADD.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rcvpose_tpu import fit, geometry, labels, metrics
+from rcvpose_tpu.data import readers
+from rcvpose_tpu.data.dataset import LinemodDataset
+from rcvpose_tpu.ops import voting
+
+# Class lists + symmetric sets + ADD thresholds (m): dataset constants from
+# the reference (AccumulatorSpace.py:19-57).
+LM_CLASS_NAMES = ["ape", "benchvise", "cam", "can", "cat", "duck", "driller",
+                  "eggbox", "glue", "holepuncher", "iron", "lamp", "phone"]
+LMO_CLASS_NAMES = ["ape", "can", "cat", "duck", "driller", "eggbox", "glue",
+                   "holepuncher"]
+LM_SYMS = ["eggbox", "glue"]
+YCB_SYMS = ["024_bowl", "036_wood_block", "051_large_clamp",
+            "052_extra_large_clamp", "061_foam_brick"]
+ADD_THRESHOLD = {
+    "eggbox": 0.019735770122546523, "ape": 0.01421240983190395,
+    "cat": 0.018594838977253875, "cam": 0.02222763033276377,
+    "duck": 0.015569664208967385, "glue": 0.01930723067998101,
+    "can": 0.028415044264086586, "driller": 0.031877906042,
+    "holepuncher": 0.019606109985, "benchvise": 0.033091264970068,
+    "iron": 0.03172344425531, "lamp": 0.03165980764376,
+    "phone": 0.02543407135792,
+}
+YCB_CLASS_NAMES = {
+    1: "002_master_chef_can", 2: "003_cracker_box", 3: "004_sugar_box",
+    4: "005_tomato_soup_can", 5: "006_mustard_bottle", 6: "007_tuna_fish_can",
+    7: "008_pudding_box", 8: "009_gelatin_box", 9: "010_potted_meat_can",
+    10: "011_banana", 11: "019_pitcher_base", 12: "021_bleach_cleanser",
+    13: "024_bowl", 14: "025_mug", 15: "035_power_drill",
+    16: "036_wood_block", 17: "037_scissors", 18: "040_large_marker",
+    19: "051_large_clamp", 20: "052_extra_large_clamp", 21: "061_foam_brick",
+}
+
+
+@partial(jax.jit, static_argnames=("n_points", "grid_l", "mode"))
+def keypoint_from_maps(sem_map, radial_map, depth_mm, k, max_radius_dm,
+                       sem_threshold, n_points=8192, grid_l=192, mode="hier"):
+    """One keypoint estimate from network output maps + depth.
+
+    Mirrors the reference per-keypoint block (AccumulatorSpace.py:602-628):
+    sem > threshold, radial clipped above the per-keypoint max radius, depth
+    masked, back-projected to meters, accumulated.
+    """
+    sem = (sem_map > sem_threshold) & (radial_map <= max_radius_dm)
+    depth = jnp.where(sem, depth_mm, 0.0)
+    # pack valid pixels (row-major, like depth.nonzero()) with aligned radii
+    xyz_map, valid = geometry.backproject_dense(depth, k)
+    flat_xyz = xyz_map.reshape(-1, 3) / 1000.0
+    flat_rad = radial_map.reshape(-1)
+    flat_valid = valid.reshape(-1)
+    order = jnp.argsort(~flat_valid, stable=True)[:n_points]
+    pts = flat_xyz[order]
+    rad = flat_rad[order]
+    mask = flat_valid[order]
+    pts = jnp.where(mask[:, None], pts, 0.0)
+    rad = jnp.where(mask, rad, 0.0)
+    res = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode=mode)
+    count = jnp.sum(valid.astype(jnp.int32))
+    return res.center_mm, res.overflow, count, pts * 1000.0, mask
+
+
+@jax.jit
+def pose_and_add(gt_kpts_mm, est_kpts_mm, cad_mm, rt_gt_mm, sym):
+    """Horn fit over the 3 keypoints + ADD(-S) before ICP
+    (AccumulatorSpace.py:660-695)."""
+    rt = fit.horn_fit(gt_kpts_mm, est_kpts_mm)
+    gt = cad_mm @ rt_gt_mm[:3, :3].T + rt_gt_mm[:3, 3]
+    est = cad_mm @ rt[:3, :3].T + rt[:3, 3]
+    d = metrics.nn_distances(gt, est)
+    score = jnp.where(sym, jnp.min(d), jnp.mean(d))
+    return rt, score
+
+
+@partial(jax.jit, static_argnames=("icp_iters",))
+def refine_and_add(rt, cad_mm, scene_mm, scene_mask, rt_gt_mm, sym, threshold,
+                   icp_iters=30):
+    """ICP refinement against the union scene cloud + ADD(-S) after
+    (AccumulatorSpace.py:697-728)."""
+    rt2 = fit.icp_point_to_point(cad_mm, scene_mm, scene_mask, rt, threshold,
+                                 max_iters=icp_iters)
+    gt = cad_mm @ rt_gt_mm[:3, :3].T + rt_gt_mm[:3, 3]
+    est = cad_mm @ rt2[:3, :3].T + rt2[:3, 3]
+    d = metrics.nn_distances(gt, est)
+    score = jnp.where(sym, jnp.min(d), jnp.mean(d))
+    return rt2, score
+
+
+class RadialMapSource:
+    """Network-driven or precomputed radial/sem maps, per keypoint.
+
+    The reference either runs one checkpoint per keypoint
+    (AccumulatorSpace.py:520-530, 595-610) or loads precomputed
+    ``estRadialMap/.../Out_pt<k>_dm/*.npy`` files (:612-618).
+    """
+
+    def __init__(self, cfg, class_name, apply_fns=None, params=None):
+        self.cfg = cfg
+        self.class_name = class_name
+        self.apply_fns = apply_fns
+        self.params = params
+
+    def maps(self, kpt_idx, image_u8, frame_id):
+        if self.cfg.using_ckpts:
+            img = labels.normalize_image(image_u8)[None]
+            seg, radial = self.apply_fns[kpt_idx - 1](
+                self.params[kpt_idx - 1], img)
+            return seg[0, :, :, 0], radial[0, :, :, 0]
+        path = os.path.join(self.cfg.root_dataset, "LINEMOD_ORIG",
+                            "estRadialMap", self.class_name,
+                            f"Out_pt{kpt_idx}_dm", f"{frame_id}.npy")
+        radial = np.load(path)
+        sem = (radial != 0).astype(np.float32)
+        return jnp.asarray(sem), jnp.asarray(radial.astype(np.float32))
+
+
+def _load_models(cfg, class_name):
+    """Load the three per-keypoint checkpoints (torch .pth.tar import or
+    orbax)."""
+    from rcvpose_tpu import checkpoint as ckpt_mod
+    from rcvpose_tpu import train as train_mod
+
+    model = train_mod.build_model(cfg)
+    apply_fns, params = [], []
+    for i in range(1, 4):
+        torch_path = os.path.join(cfg.model_dir,
+                                  f"{class_name}_pt{i}.pth.tar")
+        if os.path.exists(torch_path):
+            variables = ckpt_mod.import_torch_checkpoint(torch_path)
+        else:
+            raise FileNotFoundError(
+                f"{torch_path} not found (reference ckpt layout, "
+                "AccumulatorSpace.py:522)")
+        fn = jax.jit(lambda v, x, m=model: m.apply(v, x, False))
+        apply_fns.append(fn)
+        params.append({"params": variables["params"],
+                       "batch_stats": variables["batch_stats"]})
+    return apply_fns, params
+
+
+def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
+                        progress=print):
+    """LINEMOD evaluation (reference :495-740). Returns per-class results."""
+    results = {}
+    class_names = class_names or LM_CLASS_NAMES
+    sem_threshold = cfg.sem_threshold
+
+    for class_name in class_names:
+        progress(f"Evaluation on {class_name}")
+        root_orig = os.path.join(cfg.root_dataset, "LINEMOD_ORIG", class_name)
+        root_pv = os.path.join(cfg.root_dataset, "LINEMOD", class_name)
+        with open(os.path.join(root_pv, "Split", "val.txt")) as f:
+            test_ids = {line.strip() for line in f if line.strip()}
+
+        cad_mm = readers.read_ply_points(
+            os.path.join(root_pv, f"{class_name}.ply"))
+        keypoints = np.load(os.path.join(root_pv, "Outside9.npy"))
+        max_radii = np.array([
+            np.linalg.norm(cad_mm / 1000.0 - keypoints[i + 1], axis=1).max()
+            * 10.0 for i in range(3)])
+
+        source = RadialMapSource(cfg, class_name)
+        if cfg.using_ckpts:
+            apply_fns, params = _load_models(cfg, class_name)
+            source.apply_fns, source.params = apply_fns, params
+
+        k = jnp.asarray(geometry.LINEMOD_K, jnp.float32)
+        sym = class_name in LM_SYMS
+        threshold_mm = ADD_THRESHOLD[class_name] * 1000.0
+        cad_j = jnp.asarray(cad_mm, jnp.float32)
+        n_scene = cfg.max_points * 3
+
+        bf_icp = af_icp = counter = 0
+        net_ns = acc_ns = 0
+        frame_ids = sorted(
+            os.path.splitext(fn)[0]
+            for fn in os.listdir(os.path.join(root_pv, "JPEGImages"))
+            if fn.endswith(".jpg") and os.path.splitext(fn)[0] in test_ids)
+        if max_frames:
+            frame_ids = frame_ids[:max_frames]
+
+        for frame_id in frame_ids:
+            rt_gt = np.load(os.path.join(
+                root_pv, "pose", f"pose{int(frame_id)}.npy"))
+            depth = readers.read_depth(os.path.join(
+                root_orig, "data", f"depth{int(frame_id)}.dpt"))
+            image = readers.read_image(os.path.join(
+                root_pv, "JPEGImages", f"{frame_id}.jpg"))
+            depth_j = jnp.asarray(depth.astype(np.float32))
+
+            est_kpts = np.zeros((3, 3))
+            scene_parts, scene_masks = [], []
+            for kp in range(1, 4):
+                t0 = time.perf_counter_ns()
+                sem_map, radial_map = source.maps(kp, image, frame_id)
+                net_ns += time.perf_counter_ns() - t0
+                t0 = time.perf_counter_ns()
+                center, overflow, count, pts_mm, mask = keypoint_from_maps(
+                    sem_map, radial_map, depth_j, k,
+                    jnp.float32(max_radii[kp - 1]),
+                    jnp.float32(sem_threshold),
+                    n_points=cfg.max_points, grid_l=cfg.vote_grid_l,
+                    mode=cfg.vote_mode)
+                est_kpts[kp - 1] = np.asarray(center)
+                acc_ns += time.perf_counter_ns() - t0
+                scene_parts.append(pts_mm)
+                scene_masks.append(mask)
+
+            rt_gt_mm = rt_gt.copy()
+            rt_gt_mm[:, 3] *= 1000.0
+            gt_kpts_mm = keypoints[1:4] * 1000.0
+            rt, score_bf = pose_and_add(
+                jnp.asarray(gt_kpts_mm, jnp.float32),
+                jnp.asarray(est_kpts, jnp.float32), cad_j,
+                jnp.asarray(rt_gt_mm, jnp.float32), sym)
+            scene = jnp.concatenate(scene_parts)
+            scene_mask = jnp.concatenate(scene_masks)
+            _, score_af = refine_and_add(
+                rt, cad_j, scene, scene_mask,
+                jnp.asarray(rt_gt_mm, jnp.float32), sym,
+                jnp.maximum(score_bf, 1e-3), icp_iters=cfg.icp_iters)
+
+            bf_icp += float(score_bf) <= threshold_mm
+            af_icp += float(score_af) <= threshold_mm
+            counter += 1
+            progress(f"{class_name} {frame_id}: ADD(s) "
+                     f"bf={bf_icp / counter:.4f} af={af_icp / counter:.4f}")
+
+        results[class_name] = {
+            "add_before_icp": bf_icp / max(counter, 1),
+            "add_after_icp": af_icp / max(counter, 1),
+            "frames": counter,
+            "net_ms_per_frame": net_ns / max(counter, 1) / 1e6,
+            "acc_ms_per_frame": acc_ns / max(counter, 1) / 1e6,
+        }
+        progress(f"ADD(s) of {class_name}: before ICP "
+                 f"{results[class_name]['add_before_icp']:.4f}, after ICP "
+                 f"{results[class_name]['add_after_icp']:.4f}")
+    return results
+
+
+def estimate_6d_pose_lmo(cfg, **kw):
+    """Occlusion-LINEMOD evaluation (reference :742-974): same skeleton with
+    LMO paths, 8 classes, sem threshold 0.5."""
+    import dataclasses
+    cfg = dataclasses.replace(cfg, sem_threshold=0.5)
+    kw.setdefault("class_names", LMO_CLASS_NAMES)
+    # LMO-specific file layout is handled by the caller providing
+    # root_dataset/OCCLUSION_LINEMOD; full LMO IO lands with the dataset
+    # plumbing (paths at AccumulatorSpace.py:783-827).
+    return estimate_6d_pose_lm(cfg, **kw)
+
+
+# reference YCB AUC threshold grid (AccumulatorSpace.py:978)
+YCB_AUC_THRESHOLDS = [0.0, 0.02, 0.04, 0.06, 0.08, 0.1]
+
+
+def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
+                         progress=print):
+    """YCB-Video evaluation (reference :976-1197).
+
+    Layout: <root>/Split/<class>/val.txt, <root>/models/<class>/points.xyz +
+    Outside9.npy, <root>/<class>.hdf5 (JPEGImages keys '<cycle>_<idx>'),
+    <root>/data/<cycle>/<idx>.mat (poses, cls_indexes, factor_depth,
+    intrinsic_matrix) and <idx>-{color,depth}.png.
+
+    Reference quirks *not* reproduced (they are latent bugs, SURVEY.md §2.1
+    #25): model_list is indexed consistently per keypoint, the Horn fit uses
+    keypoints[1:4] like the LINEMOD path, and depth pixels are aligned with
+    radial values (sem AND depth > 0).
+    """
+    import h5py
+    import scipy.io
+
+    results = {}
+    class_ids = class_ids or list(YCB_CLASS_NAMES)
+    scores_bf, scores_af, syms_flags = [], [], []
+    bf_icp = af_icp = counter = 0
+
+    for class_id in class_ids:
+        class_name = YCB_CLASS_NAMES[class_id]
+        progress(f"Evaluation on {class_name}")
+        root = cfg.root_dataset
+        with open(os.path.join(root, "Split", class_name, "val.txt")) as f:
+            test_ids = {line.strip() for line in f if line.strip()}
+
+        model_dir = os.path.join(root, "models", class_name)
+        cad_m = np.loadtxt(os.path.join(model_dir, "points.xyz"))[:, :3]
+        keypoints = np.load(os.path.join(model_dir, "Outside9.npy"))
+        corners = readers.oriented_bbox_corners(cad_m)
+        ext = corners.max(axis=0) - corners.min(axis=0)
+        bbox_diag_mm = float(np.linalg.norm(ext)) * 1000.0
+        max_radii = np.array([
+            np.linalg.norm(cad_m - keypoints[i + 1], axis=1).max() * 10.0
+            for i in range(3)])
+
+        source = RadialMapSource(cfg, class_name)
+        if cfg.using_ckpts:
+            source.apply_fns, source.params = _load_models(cfg, class_name)
+
+        sym = class_name in YCB_SYMS
+        cad_j = jnp.asarray(cad_m * 1000.0, jnp.float32)
+
+        with h5py.File(os.path.join(root, f"{class_name}.hdf5"), "r") as h5f:
+            frames = [fn for fn in h5f["JPEGImages"].keys()
+                      if fn in test_ids]
+            if max_frames:
+                frames = frames[:max_frames]
+            for filename in frames:
+                cycle, idx = filename.split("_")
+                meta = scipy.io.loadmat(
+                    os.path.join(root, "data", cycle, f"{idx}.mat"))
+                sel = np.where(meta["cls_indexes"].ravel() == class_id)[0]
+                if sel.size == 0:
+                    continue
+                rt_gt = meta["poses"][:, :, sel[0]]
+                factor = float(np.asarray(meta["factor_depth"]).ravel()[0])
+                k = jnp.asarray(meta["intrinsic_matrix"], jnp.float32)
+                image = readers.read_image(
+                    os.path.join(root, "data", cycle, f"{idx}-color.png"))
+                depth_png = readers.read_depth(
+                    os.path.join(root, "data", cycle, f"{idx}-depth.png"))
+                depth_mm = depth_png.astype(np.float32) / factor * 1000.0
+
+                est_kpts = np.zeros((3, 3))
+                scene_parts, scene_masks = [], []
+                for kp in range(1, 4):
+                    sem_map, radial_map = source.maps(kp, image, filename)
+                    center, overflow, count, pts_mm, mask = \
+                        keypoint_from_maps(
+                            sem_map, radial_map, jnp.asarray(depth_mm), k,
+                            jnp.float32(max_radii[kp - 1]),
+                            jnp.float32(cfg.sem_threshold),
+                            n_points=cfg.max_points, grid_l=cfg.vote_grid_l,
+                            mode=cfg.vote_mode)
+                    est_kpts[kp - 1] = np.asarray(center)
+                    scene_parts.append(pts_mm)
+                    scene_masks.append(mask)
+
+                rt_gt_mm = rt_gt.copy()
+                rt_gt_mm[:, 3] *= 1000.0
+                gt_kpts_mm = keypoints[1:4] * 1000.0
+                rt, score_bf = pose_and_add(
+                    jnp.asarray(gt_kpts_mm, jnp.float32),
+                    jnp.asarray(est_kpts, jnp.float32), cad_j,
+                    jnp.asarray(rt_gt_mm, jnp.float32), sym)
+                scene = jnp.concatenate(scene_parts)
+                scene_mask = jnp.concatenate(scene_masks)
+                _, score_af = refine_and_add(
+                    rt, cad_j, scene, scene_mask,
+                    jnp.asarray(rt_gt_mm, jnp.float32), sym,
+                    jnp.maximum(score_bf, 1e-3), icp_iters=cfg.icp_iters)
+
+                sbf, saf = float(score_bf), float(score_af)
+                scores_bf.append(sbf)
+                scores_af.append(saf)
+                syms_flags.append(sym)
+                bf_icp += sbf <= bbox_diag_mm * 0.01
+                af_icp += saf <= bbox_diag_mm * 0.01
+                counter += 1
+                progress(f"{class_name} {filename}: "
+                         f"bf={bf_icp / counter:.4f} af={af_icp / counter:.4f}")
+
+    auc_bf = metrics.auc_add(np.asarray(scores_bf) / 1000.0,
+                             thresholds=YCB_AUC_THRESHOLDS)
+    auc_af = metrics.auc_add(np.asarray(scores_af) / 1000.0,
+                             thresholds=YCB_AUC_THRESHOLDS)
+    results["all"] = {
+        "adds_auc_before_icp": auc_bf, "adds_auc_after_icp": auc_af,
+        "add_before_icp": bf_icp / max(counter, 1),
+        "add_after_icp": af_icp / max(counter, 1),
+        "frames": counter,
+    }
+    progress(f"ADD(s) AUC before ICP: {auc_bf:.4f}, after ICP: {auc_af:.4f}")
+    return results

@@ -56,14 +56,20 @@ def add_accuracy(scores, threshold):
     return jnp.mean((scores <= threshold).astype(jnp.float32))
 
 
-def auc_add(distances, max_threshold=0.1, steps=1000):
+def auc_add(distances, max_threshold=0.1, steps=1000, thresholds=None):
     """AUC of accuracy over thresholds [0, max_threshold], normalized.
 
     NumPy implementation of the reference's sklearn-based computation
     (AccumulatorSpace.py:1144-1152, 1183-1195): accuracy(t) evaluated on a
-    threshold sweep, trapezoid-integrated and divided by max_threshold.
+    threshold sweep, trapezoid-integrated and divided by max_threshold. Pass
+    ``thresholds=[0, 0.02, 0.04, 0.06, 0.08, 0.1]`` (meters) for the exact
+    reference YCB grid (AccumulatorSpace.py:978).
     """
     d = np.asarray(distances, np.float64)
-    ts = np.linspace(0.0, max_threshold, steps)
+    if thresholds is not None:
+        ts = np.asarray(thresholds, np.float64)
+        max_threshold = ts[-1]
+    else:
+        ts = np.linspace(0.0, max_threshold, steps)
     acc = (d[None, :] <= ts[:, None]).mean(axis=1)
     return float(np.trapezoid(acc, ts) / max_threshold)

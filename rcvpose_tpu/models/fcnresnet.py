@@ -1,0 +1,203 @@
+"""FCN-ResNet-152 radial-map backbones in Flax (NHWC, TPU-native).
+
+Architectural parity with the reference torch models
+(``/root/reference/models/fcnresnet.py``):
+
+* ``DenseFCNResNet152`` (fcnresnet.py:48-191) — ResNet-152 encoder
+  (3/8/36/3 bottleneck stages), a 2048->1024 conv6 neck, and an FCN decoder
+  with *concatenated* skip connections, emitting a 2-channel full-resolution
+  map split into (segmentation, radial) heads.
+* ``ResFCNResNet152`` (fcnresnet.py:194-323) — same encoder, decoder with
+  *additive* skips through 1x1 channel-lift convs. The reference applies
+  ``up1`` twice (fcnresnet.py:311-313), yielding 2x-input-resolution output —
+  reproduced only behind ``double_up1=True`` (documented reference bug).
+
+TPU-first choices: NHWC layout, bf16-capable compute dtype with f32 params,
+BatchNorm statistics in f32. Convolution kernels stay in XLA (conv fusion on
+the MXU is already optimal there; Pallas effort goes to the voting op).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ResNet-152 stage depths (reference fcnresnet.py:60-82).
+RESNET152_BLOCKS = (3, 8, 36, 3)
+
+
+class Bottleneck(nn.Module):
+    """1-3-1 bottleneck, x4 expansion (reference fcnresnet.py:6-45).
+
+    ``project=True`` adds the 1x1 projection shortcut (the reference's
+    misleadingly named ``upsample`` flag).
+    """
+    channels: int
+    stride: int = 1
+    project: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        # reference conv2 keeps torch's default bias=True (fcnresnet.py:11)
+        y = nn.Conv(self.channels, (3, 3), strides=(self.stride,) * 2,
+                    padding=1, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
+        if self.project:
+            residual = nn.Conv(self.channels * 4, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               dtype=self.dtype, name="proj_conv")(residual)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype, name="proj_bn")(residual)
+        return nn.relu(y + residual)
+
+
+def _conv_bn_relu(x, features, train, dtype, name):
+    x = nn.Conv(features, (3, 3), padding=1, dtype=dtype,
+                name=f"{name}_conv")(x)
+    x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                     epsilon=1e-5, dtype=dtype, name=f"{name}_bn")(x)
+    return nn.relu(x)
+
+
+def jax_resize2x(x):
+    """Bilinear x2 upsample, half-pixel centers (torch align_corners=False)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+
+
+class _Encoder(nn.Module):
+    """Shared ResNet-152 encoder trunk; returns all skip tensors."""
+    dtype: jnp.dtype = jnp.float32
+    blocks: Sequence[int] = RESNET152_BLOCKS
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)                       # H/2, 64  ("x" skip)
+        y = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))   # H/4
+
+        stage_channels = (64, 128, 256, 512)
+        skips = []
+        for s, (depth, ch) in enumerate(zip(self.blocks, stage_channels)):
+            stride = 1 if s == 0 else 2
+            y = Bottleneck(ch, stride=stride, project=True, dtype=self.dtype,
+                           name=f"block{s + 1}up")(y, train)
+            for i in range(1, depth):
+                y = Bottleneck(ch, dtype=self.dtype,
+                               name=f"block{s + 1}_{i}")(y, train)
+            skips.append(y)
+        x2s, x4s, x8s, x16s = skips          # H/4 .. H/32
+        return x, x2s, x4s, x8s, x16s
+
+
+class DenseFCNResNet152(nn.Module):
+    """Concat-skip FCN decoder variant — the production model.
+
+    ``__call__(x)`` takes NHWC RGB (H, W multiples of 32 + even halves; the
+    LINEMOD 480x640 frames divide cleanly) and returns
+    ``(seg, radial)`` each (B, H, W, 1), mirroring the reference's 2-channel
+    split (fcnresnet.py:188-191).
+    """
+    input_channels: int = 3
+    output_channels: int = 2
+    dtype: jnp.dtype = jnp.float32
+    blocks: Sequence[int] = RESNET152_BLOCKS  # shallower for tests
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        xc, x2s, x4s, x8s, x16s = _Encoder(dtype=self.dtype,
+                                           blocks=self.blocks,
+                                           name="encoder")(x, train)
+        x32s = nn.Conv(1024, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv6")(x16s)
+        x32s = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype, name="bn6")(x32s)
+        x32s = nn.relu(x32s)
+
+        up = _conv_bn_relu(jnp.concatenate([x32s, x16s], -1), 1024, train,
+                           self.dtype, "conv_up5")
+        up = jax_resize2x(up)
+        up = _conv_bn_relu(jnp.concatenate([up, x8s], -1), 512, train,
+                           self.dtype, "conv_up4")
+        up = jax_resize2x(up)
+        up = _conv_bn_relu(jnp.concatenate([up, x4s], -1), 256, train,
+                           self.dtype, "conv_up3")
+        up = jax_resize2x(up)
+        up = _conv_bn_relu(jnp.concatenate([up, x2s], -1), 128, train,
+                           self.dtype, "conv_up2")
+        up = jax_resize2x(up)
+        up = _conv_bn_relu(jnp.concatenate([up, xc], -1), 64, train,
+                           self.dtype, "conv_up1")
+        up = jax_resize2x(up)
+        up = _conv_bn_relu(up, 32, train, self.dtype, "conv7")
+        out = nn.Conv(self.output_channels, (1, 1), dtype=self.dtype,
+                      name="conv8")(up)
+        out = out.astype(jnp.float32)
+        return out[..., :1], out[..., 1:]
+
+
+class ResFCNResNet152(nn.Module):
+    """Additive-skip decoder variant (reference fcnresnet.py:194-323).
+
+    ``double_up1=True`` reproduces the reference's double ``up1``
+    (fcnresnet.py:311-313) which emits output at 2x the input resolution;
+    the default applies it once so output matches input size.
+    """
+    input_channels: int = 3
+    output_channels: int = 2
+    double_up1: bool = False
+    dtype: jnp.dtype = jnp.float32
+    blocks: Sequence[int] = RESNET152_BLOCKS
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        xc, x2s, x4s, x8s, x16s = _Encoder(dtype=self.dtype,
+                                           blocks=self.blocks,
+                                           name="encoder")(x, train)
+        up = jax_resize2x(x16s)
+        lift = nn.Conv(2048, (1, 1), dtype=self.dtype, name="conv_up4_1")(x8s)
+        up = _conv_bn_relu(up + lift, 1024, train, self.dtype, "conv_up4")
+
+        up = jax_resize2x(up)
+        lift = nn.Conv(1024, (1, 1), dtype=self.dtype, name="conv_up3_1")(x4s)
+        up = _conv_bn_relu(up + lift, 512, train, self.dtype, "conv_up3")
+
+        up = jax_resize2x(up)
+        lift = nn.Conv(512, (1, 1), dtype=self.dtype, name="conv_up2_1")(x2s)
+        up = _conv_bn_relu(up + lift, 256, train, self.dtype, "conv_up2")
+
+        up = jax_resize2x(up)
+        lift = nn.Conv(256, (1, 1), dtype=self.dtype, name="conv_up1_1")(xc)
+        up = _conv_bn_relu(up + lift, 128, train, self.dtype, "conv_up1")
+        up = jax_resize2x(up)
+        if self.double_up1:
+            up = jax_resize2x(up)
+
+        up = _conv_bn_relu(up, 64, train, self.dtype, "conv7")
+        out = nn.Conv(self.output_channels, (1, 1), dtype=self.dtype,
+                      name="conv8")(up)
+        out = out.astype(jnp.float32)
+        return out[..., :1], out[..., 1:]

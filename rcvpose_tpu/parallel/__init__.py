@@ -1,0 +1,6 @@
+from rcvpose_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    data_mesh,
+    replicated,
+    shard_batch,
+)

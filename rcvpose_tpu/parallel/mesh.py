@@ -1,0 +1,67 @@
+"""Device-mesh helpers: the framework's entire distributed surface.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+(train.py:31-34) — replicate the model, scatter the batch over local GPUs,
+gather. The TPU-native equivalent is a 1-D ``jax.sharding.Mesh`` over all
+devices with the batch sharded on the ``data`` axis and parameters
+replicated; XLA inserts the gradient all-reduce over ICI automatically when
+the train step is jit-compiled with these shardings. Multi-host scale-out is
+the same code after ``jax.distributed.initialize()``.
+
+``shard_points`` additionally shards the voting workload: each device counts
+votes for its slice of the point cloud and the per-voxel counts are summed
+with ``psum`` — the "long-context" analogue for this workload (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(n_devices=None, devices=None):
+    """1-D data-parallel mesh over (a prefix of) the local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh):
+    """Shard the leading (batch) axis over the data mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch):
+    """Place a host batch pytree with the leading axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def sharded_vote_counts(mesh, voxels, points, lo, hi):
+    """Vote counting with points sharded over the mesh and grids psum-ed.
+
+    Each device evaluates its point shard against the (replicated) voxel
+    list; ICI carries one (V,)-sized all-reduce. Points must be padded to a
+    multiple of the mesh size (masked entries have lo == hi == 0).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from rcvpose_tpu.ops.voting import vote_counts
+
+    def local(voxels, points, lo, hi):
+        partial = vote_counts(voxels, points, lo, hi)
+        return jax.lax.psum(partial, "data")
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=P(),
+    )
+    return fn(voxels, points, lo, hi)

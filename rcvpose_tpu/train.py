@@ -1,0 +1,228 @@
+"""pjit data-parallel training runtime.
+
+Loss and metric semantics follow the reference Trainer exactly
+(``/root/reference/train.py``):
+
+* ``loss_s``: mean L1 between the seg logit map and the +/-1 semantic target
+  (train.py:52, 152).
+* ``loss_r``: sum L1 over pixels where the GT radial map is nonzero,
+  normalized by the count of nonzero pixels (train.py:67-70). The masked-mean
+  normalizer uses the *batch-global* nonzero count, as the reference does.
+* total = loss_r + loss_s; NaN raises (train.py:161-162).
+* accuracy proxy: fraction of GT-nonzero pixels with |err| <= 0.05 dm = 5 mm
+  (train.py:106, 169-171).
+* lr: initial 1e-4 Adam (or SGD momentum 0.9), divided by 10 every 70 epochs
+  (train.py:184-186), expressed as an optax schedule.
+
+Redesigned for TPU: one jit-compiled train step over a 1-D device mesh with
+the batch sharded on the ``data`` axis (XLA all-reduces grads over ICI — the
+DataParallel replacement, SURVEY.md §2.2), params/batch-stats replicated,
+bf16 compute dtype with f32 master params and BN stats.
+
+The reference's resume bug — ``self.epoch = 0`` after restoring a checkpoint
+(train.py:50) — is *not* reproduced: resume continues from the saved step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from rcvpose_tpu import parallel
+from rcvpose_tpu.models import DenseFCNResNet152, ResFCNResNet152
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_lr_schedule(initial_lr, steps_per_epoch, decay_epochs=70,
+                     decay_factor=0.1):
+    """lr * factor^(epoch // decay_epochs), stepwise (reference train.py:184-186)."""
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return initial_lr * (decay_factor ** (epoch // decay_epochs))
+    return schedule
+
+
+def make_optimizer(cfg, steps_per_epoch):
+    sched = make_lr_schedule(cfg.initial_lr, steps_per_epoch,
+                             cfg.lr_decay_epochs, cfg.lr_decay_factor)
+    if cfg.optim.lower() == "adam":
+        return optax.adam(sched)  # betas default (0.9, 0.999), as reference
+    return optax.sgd(sched, momentum=cfg.momentum)
+
+
+def build_model(cfg, blocks=None):
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    kwargs = dict(dtype=dtype)
+    if blocks is not None:
+        kwargs["blocks"] = tuple(blocks)
+    if cfg.model == "dense":
+        return DenseFCNResNet152(**kwargs)
+    return ResFCNResNet152(**kwargs)
+
+
+def create_state(cfg, rng, steps_per_epoch=1000, blocks=None,
+                 sample_shape=None):
+    model = build_model(cfg, blocks)
+    if sample_shape is None:
+        sample_shape = (1, cfg.image_height, cfg.image_width, 3)
+    variables = model.init(rng, jnp.zeros(sample_shape, jnp.float32), False)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=make_optimizer(cfg, steps_per_epoch),
+    )
+
+
+def losses(seg, radial, sem_target, radial_target):
+    """Reference loss pair + accuracy proxy. All maps are (B, H, W, 1)."""
+    loss_s = jnp.mean(jnp.abs(seg - sem_target))
+    nz = (radial_target != 0)
+    count = jnp.maximum(jnp.sum(nz.astype(jnp.float32)), 1.0)
+    err = jnp.abs(radial - radial_target)
+    loss_r = jnp.sum(jnp.where(nz, err, 0.0)) / count
+    acc = jnp.sum(jnp.where(nz, (err <= 0.05).astype(jnp.float32), 0.0)) / count
+    return loss_s, loss_r, acc
+
+
+def train_step(state: TrainState, batch):
+    """One optimizer step. batch: dict(image(B,H,W,3), radial(B,H,W),
+    sem(B,H,W)) with labels in NHWC float32."""
+    sem_t = batch["sem"][..., None]
+    rad_t = batch["radial"][..., None]
+
+    def loss_fn(params):
+        (seg, radial), mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["image"], True, mutable=["batch_stats"])
+        # The reference multiplies the radial prediction by the +/-1 sem
+        # target before the loss (train.py:149-150); on GT-nonzero pixels the
+        # sem target is +1, so inside the masked loss it is the identity —
+        # the masked loss below is the effective semantics.
+        loss_s, loss_r, acc = losses(seg, radial, sem_t, rad_t)
+        return loss_s + loss_r, (loss_s, loss_r, acc, mutated["batch_stats"])
+
+    (loss, (loss_s, loss_r, acc, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_stats)
+    metrics = {"loss": loss, "loss_s": loss_s, "loss_r": loss_r, "acc": acc}
+    return state, metrics
+
+
+def eval_step(state: TrainState, batch):
+    """Validation pass (reference validate(), train.py:73-111)."""
+    sem_t = batch["sem"][..., None]
+    rad_t = batch["radial"][..., None]
+    seg, radial = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["image"], False)
+    loss_s, loss_r, acc = losses(seg, radial, sem_t, rad_t)
+    nz = (rad_t != 0)
+    count = jnp.maximum(jnp.sum(nz.astype(jnp.float32)), 1.0)
+    mae = jnp.sum(jnp.abs(radial - rad_t)) / count  # reference Val_MAE
+    return {"loss": loss_s + loss_r, "loss_s": loss_s, "loss_r": loss_r,
+            "acc": acc, "mae": mae}
+
+
+def make_parallel_steps(mesh):
+    """jit the train/eval steps over a data mesh: batch sharded on 'data',
+    state replicated. XLA inserts the gradient all-reduce."""
+    repl = parallel.replicated(mesh)
+    bsh = parallel.batch_sharding(mesh)
+
+    p_train = jax.jit(
+        train_step,
+        in_shardings=(repl, bsh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    p_eval = jax.jit(
+        eval_step,
+        in_shardings=(repl, bsh),
+        out_shardings=repl,
+    )
+    return p_train, p_eval
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Epoch/validate/checkpoint driver (reference Trainer, train.py:17-188).
+
+    Data loading and checkpointing are injected so the loop is testable
+    without datasets on disk.
+    """
+    cfg: Any
+    state: TrainState
+    mesh: Any
+    train_batches: Any          # callable epoch -> iterable of batches
+    val_batches: Any            # callable -> iterable of batches
+    checkpointer: Any = None    # rcvpose_tpu.checkpoint.Checkpointer
+    writer: Any = None          # tensorboardX-like, optional
+    best_val: float = float("inf")
+    iteration: int = 0
+
+    def __post_init__(self):
+        self._train_step, self._eval_step = make_parallel_steps(self.mesh)
+
+    def train_epoch(self, epoch):
+        for batch in self.train_batches(epoch):
+            batch = parallel.shard_batch(self.mesh, batch)
+            self.state, m = self._train_step(self.state, batch)
+            self.iteration += 1
+            loss = float(m["loss"])
+            if loss != loss:  # NaN guard (reference train.py:161-162)
+                raise ValueError("loss is nan while training")
+            if self.writer is not None:
+                self.writer.add_scalar("Train_sum", loss, self.iteration)
+                self.writer.add_scalar("Train_r", float(m["loss_r"]),
+                                       self.iteration)
+                self.writer.add_scalar("Train_s", float(m["loss_s"]),
+                                       self.iteration)
+                self.writer.add_scalar("Train_ACC", float(m["acc"]),
+                                       self.iteration)
+            if self.iteration >= self.cfg.max_iterations:
+                break
+
+    def validate(self, epoch):
+        total, n = 0.0, 0
+        for batch in self.val_batches():
+            batch = parallel.shard_batch(self.mesh, batch)
+            m = self._eval_step(self.state, batch)
+            loss = float(m["loss"])
+            if loss != loss:
+                raise ValueError("loss is nan while validating")
+            total += loss
+            n += 1
+            if self.writer is not None:
+                self.writer.add_scalar("Val_r+s", loss, self.iteration)
+                self.writer.add_scalar("Val_MAE", float(m["mae"]),
+                                       self.iteration)
+                self.writer.add_scalar("Val_ACC", float(m["acc"]),
+                                       self.iteration)
+        mean_loss = total / max(n, 1)
+        is_best = mean_loss < self.best_val
+        if is_best:
+            self.best_val = mean_loss
+        if self.checkpointer is not None:
+            self.checkpointer.save(self.state, epoch=epoch,
+                                   iteration=self.iteration,
+                                   best_val=self.best_val, is_best=is_best)
+        return mean_loss
+
+    def fit(self, max_epochs):
+        for epoch in range(max_epochs):
+            self.train_epoch(epoch)
+            self.validate(epoch)
+            if self.iteration >= self.cfg.max_iterations:
+                break
+        return self.state

@@ -1,0 +1,131 @@
+import os
+import struct
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rcvpose_tpu.data import readers
+from rcvpose_tpu.data.dataset import LinemodDataset
+from rcvpose_tpu.data.loader import BatchLoader
+from tests.test_geometry import random_pose
+
+
+def write_dpt(path, depth):
+    h, w = depth.shape
+    with open(path, "wb") as f:
+        f.write(np.asarray([h, w], np.uint32).tobytes())
+        f.write(depth.astype(np.uint16).tobytes())
+
+
+def write_ascii_ply(path, pts):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(pts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("end_header\n")
+        for p in pts:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+
+def write_binary_ply(path, pts):
+    with open(path, "wb") as f:
+        header = ("ply\nformat binary_little_endian 1.0\n"
+                  f"element vertex {len(pts)}\n"
+                  "property float x\nproperty float y\nproperty float z\n"
+                  "end_header\n")
+        f.write(header.encode())
+        f.write(pts.astype("<f4").tobytes())
+
+
+def test_read_dpt_roundtrip(tmp_path, rng):
+    depth = rng.integers(0, 1000, size=(12, 16)).astype(np.uint16)
+    p = tmp_path / "depth0.dpt"
+    write_dpt(str(p), depth)
+    out = readers.read_depth(str(p))
+    np.testing.assert_array_equal(out, depth)
+
+
+def test_read_ply_ascii_and_binary(tmp_path, rng):
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    write_ascii_ply(str(tmp_path / "a.ply"), pts)
+    write_binary_ply(str(tmp_path / "b.ply"), pts)
+    a = readers.read_ply_points(str(tmp_path / "a.ply"))
+    b = readers.read_ply_points(str(tmp_path / "b.ply"))
+    np.testing.assert_allclose(a, pts, atol=1e-5)
+    np.testing.assert_allclose(b, pts, atol=1e-6)
+
+
+def test_obb_corners_axis_aligned(rng):
+    pts = rng.uniform(-1, 1, size=(500, 3)) * np.array([3.0, 2.0, 1.0])
+    corners = readers.oriented_bbox_corners(pts)
+    assert corners.shape == (8, 3)
+    # corners must cover the cloud's extents
+    assert (corners.max(axis=0) >= pts.max(axis=0) - 1e-6).all()
+    assert (corners.min(axis=0) <= pts.min(axis=0) + 1e-6).all()
+
+
+@pytest.fixture
+def linemod_tree(tmp_path, rng):
+    """Minimal synthetic LINEMOD class tree."""
+    base = tmp_path / "LINEMOD" / "toy"
+    for d in ["JPEGImages", "data", "mask", "pose", "Split"]:
+        os.makedirs(base / d)
+    cad = rng.normal(size=(100, 3)) * 40  # mm
+    write_ascii_ply(str(base / "mesh.ply"), cad)
+    kpts = rng.normal(size=(9, 3)) * 0.1
+    np.save(base / "Outside9.npy", kpts)
+    h, w = 48, 64
+    ids = []
+    for i in range(3):
+        img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(base / "JPEGImages" / f"{i:06d}.jpg")
+        depth = rng.integers(500, 900, size=(h, w)).astype(np.uint16)
+        write_dpt(str(base / "data" / f"depth{i}.dpt"), depth)
+        mask = np.zeros((h, w, 3), np.uint8)
+        mask[10:30, 20:40] = 255
+        Image.fromarray(mask).save(base / "mask" / f"{str(i).zfill(4)}.png")
+        np.save(base / "pose" / f"pose{i}.npy", random_pose(rng))
+        ids.append(f"{i:06d}")
+    with open(base / "Split" / "val.txt", "w") as f:
+        f.write("\n".join(ids) + "\n")
+    return str(tmp_path / "LINEMOD")
+
+
+def test_linemod_dataset(linemod_tree):
+    ds = LinemodDataset(linemod_tree, "toy", kpt_num=1, split="val")
+    assert len(ds) == 3
+    raw = ds.raw(0)
+    assert raw["image"].shape == (48, 64, 3)
+    assert raw["depth"].shape == (48, 64)
+    assert raw["mask"].shape == (48, 64)
+    assert raw["pose"].shape == (3, 4)
+    assert ds.max_radii_dm > 0
+
+
+def test_batch_loader(linemod_tree):
+    import numpy as np
+
+    ds = LinemodDataset(linemod_tree, "toy", kpt_num=1, split="val")
+    k = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]])
+    loader = BatchLoader(ds, k, batch_size=2, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 1  # 3 frames, drop_last
+    b = batches[0]
+    assert b["image"].shape == (2, 48, 64, 3)
+    assert b["radial"].shape == (2, 48, 64)
+    assert b["sem"].shape == (2, 48, 64)
+    sem = np.asarray(b["sem"])
+    assert set(np.unique(sem)) <= {-1.0, 1.0}
+    # radial only nonzero inside the mask box
+    radial = np.asarray(b["radial"])
+    assert (radial[:, :10, :] == 0).all()
+    assert (radial[:, 10:30, 20:40] >= 0).any()
+
+
+def test_keypoint_generation_when_missing(tmp_path, rng, linemod_tree):
+    os.remove(os.path.join(linemod_tree, "toy", "Outside9.npy"))
+    ds = LinemodDataset(linemod_tree, "toy", kpt_num=1, split="val")
+    assert ds.keypoints.shape == (8, 3)
+    # regenerated file persisted
+    assert os.path.exists(os.path.join(linemod_tree, "toy", "Outside9.npy"))

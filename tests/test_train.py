@@ -1,0 +1,114 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rcvpose_tpu import parallel, train
+from rcvpose_tpu.config import Config
+
+TINY = (1, 1, 1, 1)
+
+
+def tiny_cfg(**kw):
+    return Config(compute_dtype="float32", image_height=32, image_width=32,
+                  batch_size=8, **kw)
+
+
+def synth_batch(rng, b=8, h=32, w=32):
+    img = rng.normal(size=(b, h, w, 3)).astype(np.float32)
+    radial = np.zeros((b, h, w), np.float32)
+    radial[:, 8:24, 8:24] = rng.uniform(1, 3, size=(b, 16, 16))
+    sem = np.where(radial > 0, 1.0, -1.0).astype(np.float32)
+    return {"image": jnp.asarray(img), "radial": jnp.asarray(radial),
+            "sem": jnp.asarray(sem)}
+
+
+def test_losses_match_reference_semantics(rng):
+    b, h, w = 2, 4, 4
+    seg = jnp.asarray(rng.normal(size=(b, h, w, 1)).astype(np.float32))
+    radial = jnp.asarray(rng.normal(size=(b, h, w, 1)).astype(np.float32))
+    sem_t = jnp.asarray(np.sign(rng.normal(size=(b, h, w, 1))).astype(np.float32))
+    rad_t = np.zeros((b, h, w, 1), np.float32)
+    rad_t[0, 1, 2, 0] = 2.0
+    rad_t[1, 3, 3, 0] = 1.0
+    rad_t = jnp.asarray(rad_t)
+
+    loss_s, loss_r, acc = train.losses(seg, radial, sem_t, rad_t)
+    # manual
+    exp_s = float(jnp.mean(jnp.abs(seg - sem_t)))
+    nz = np.asarray(rad_t) != 0
+    exp_r = float(np.abs(np.asarray(radial) - np.asarray(rad_t))[nz].sum() / nz.sum())
+    assert abs(float(loss_s) - exp_s) < 1e-6
+    assert abs(float(loss_r) - exp_r) < 1e-6
+    assert 0.0 <= float(acc) <= 1.0
+
+
+def test_lr_schedule():
+    sched = train.make_lr_schedule(1e-4, steps_per_epoch=10, decay_epochs=70)
+    assert sched(0) == pytest.approx(1e-4)
+    assert sched(69 * 10) == pytest.approx(1e-4)
+    assert sched(70 * 10) == pytest.approx(1e-5)
+    assert sched(140 * 10) == pytest.approx(1e-6)
+
+
+def test_train_step_reduces_loss_on_mesh(rng):
+    cfg = tiny_cfg()
+    mesh = parallel.data_mesh()
+    assert mesh.devices.size == 8, "conftest should give 8 CPU devices"
+    state = train.create_state(cfg, jax.random.PRNGKey(0), blocks=TINY,
+                               sample_shape=(1, 32, 32, 3))
+    p_train, p_eval = train.make_parallel_steps(mesh)
+    batch = parallel.shard_batch(mesh, synth_batch(rng))
+
+    first = None
+    for i in range(8):
+        state, m = p_train(state, batch)
+        if first is None:
+            first = float(m["loss"])
+    last = float(m["loss"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+    em = p_eval(state, batch)
+    assert np.isfinite(float(em["loss"]))
+    assert np.isfinite(float(em["mae"]))
+
+
+def test_trainer_loop_runs_and_checkpoints(rng, tmp_path):
+    from rcvpose_tpu.checkpoint import Checkpointer
+
+    cfg = dataclasses.replace(tiny_cfg(), max_iterations=6)
+    mesh = parallel.data_mesh()
+    state = train.create_state(cfg, jax.random.PRNGKey(0), blocks=TINY,
+                               sample_shape=(1, 32, 32, 3))
+    batch = synth_batch(rng)
+
+    class Writer:
+        def __init__(self):
+            self.scalars = []
+
+        def add_scalar(self, tag, value, step):
+            self.scalars.append((tag, value, step))
+
+    writer = Writer()
+    ckpt = Checkpointer(str(tmp_path / "ckpts"))
+    trainer = train.Trainer(
+        cfg=cfg, state=state, mesh=mesh,
+        train_batches=lambda epoch: [batch, batch],
+        val_batches=lambda: [batch],
+        checkpointer=ckpt, writer=writer)
+    final_state = trainer.fit(max_epochs=5)
+    assert trainer.iteration == 6  # capped by max_iterations
+    assert any(t == "Train_sum" for t, _, _ in writer.scalars)
+    assert any(t == "Val_ACC" for t, _, _ in writer.scalars)
+
+    # restore round-trip
+    fresh = train.create_state(cfg, jax.random.PRNGKey(1), blocks=TINY,
+                               sample_shape=(1, 32, 32, 3))
+    restored, epoch, it, best = ckpt.restore(fresh)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(final_state.params)[0]))
+    assert it == trainer.iteration
