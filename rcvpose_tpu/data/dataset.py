@@ -73,6 +73,25 @@ class LinemodDataset:
             "img_id": img_id,
         }
 
+    def raw_batch(self, indices):
+        """Batched raw read; depth files go through the native threaded
+        reader (rcvpose_tpu.native) when available."""
+        from rcvpose_tpu import native
+
+        ids = [self.ids[int(i)] for i in indices]
+        ns = [str(int(i)) for i in ids]
+        depths = native.batch_read_dpt([self._depth % n for n in ns])
+        out = []
+        for img_id, n, depth in zip(ids, ns, depths):
+            out.append({
+                "image": readers.read_image(self._img % img_id),
+                "depth": depth,
+                "mask": readers.read_mask(self._mask % n.zfill(4)),
+                "pose": np.load(self._pose % n),
+                "img_id": img_id,
+            })
+        return out
+
     def max_radii_for(self, kpt_indices):
         """Per-keypoint max radii in dm (eval path,
         AccumulatorSpace.py:544-549)."""

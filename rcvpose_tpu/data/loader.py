@@ -83,7 +83,10 @@ class BatchLoader:
             try:
                 for b in range(nb):
                     sel = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    samples = [self.ds.raw(int(i)) for i in sel]
+                    if hasattr(self.ds, "raw_batch"):
+                        samples = self.ds.raw_batch(sel)
+                    else:
+                        samples = [self.ds.raw(int(i)) for i in sel]
                     q.put(_stack_raw(samples))
             finally:
                 q.put(stop)

@@ -75,17 +75,17 @@ def keypoint_from_maps(sem_map, radial_map, depth_mm, k, max_radius_dm,
     """
     sem = (sem_map > sem_threshold) & (radial_map <= max_radius_dm)
     depth = jnp.where(sem, depth_mm, 0.0)
-    # pack valid pixels (row-major, like depth.nonzero()) with aligned radii
+    # pack valid pixels (row-major, like depth.nonzero()) with aligned radii;
+    # size-bounded nonzero is cheaper than a full argsort over H*W
     xyz_map, valid = geometry.backproject_dense(depth, k)
     flat_xyz = xyz_map.reshape(-1, 3) / 1000.0
     flat_rad = radial_map.reshape(-1)
     flat_valid = valid.reshape(-1)
-    order = jnp.argsort(~flat_valid, stable=True)[:n_points]
-    pts = flat_xyz[order]
-    rad = flat_rad[order]
-    mask = flat_valid[order]
-    pts = jnp.where(mask[:, None], pts, 0.0)
-    rad = jnp.where(mask, rad, 0.0)
+    (order,) = jnp.nonzero(flat_valid, size=n_points, fill_value=0)
+    n_valid = jnp.sum(flat_valid.astype(jnp.int32))
+    mask = jnp.arange(n_points) < n_valid  # fill_value aliases index 0
+    pts = jnp.where(mask[:, None], flat_xyz[order], 0.0)
+    rad = jnp.where(mask, flat_rad[order], 0.0)
     res = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode=mode)
     count = jnp.sum(valid.astype(jnp.int32))
     return res.center_mm, res.overflow, count, pts * 1000.0, mask

@@ -92,11 +92,9 @@ def depth_to_pointcloud(depth, k, n_points, fill_value=0.0):
     flat_xyz = xyz.reshape(-1, 3)
     flat_valid = valid.reshape(-1)
     count = jnp.sum(flat_valid.astype(jnp.int32))
-    # Stable-sort invalid entries to the back, keeping row-major order of the
-    # valid ones (matches the reference's nonzero() ordering).
-    order = jnp.argsort(~flat_valid, stable=True)
-    idx = order[:n_points]
-    pts = flat_xyz[idx]
-    mask = flat_valid[idx]
-    pts = jnp.where(mask[:, None], pts, fill_value)
+    # Size-bounded nonzero keeps the reference's row-major pixel order and is
+    # cheaper than a stable argsort over H*W.
+    (idx,) = jnp.nonzero(flat_valid, size=n_points, fill_value=0)
+    mask = jnp.arange(n_points) < count  # fill_value aliases index 0
+    pts = jnp.where(mask[:, None], flat_xyz[idx], fill_value)
     return pts, mask, count

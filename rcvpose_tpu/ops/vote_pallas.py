@@ -10,14 +10,16 @@ CUDA port (``:344-371``). Design notes:
   One kernel serves every accumulator mode — the exact full grid, the
   hierarchical coarse grid, and per-peak refinement windows — because the
   voxel list is just data.
-* Grid = (voxel blocks, point chunks); the output block revisits across the
-  point-chunk dimension (TPU grids run sequentially, so accumulation is
-  race-free by construction — the reference kernel's ``+=`` data race has no
-  analogue here).
-* The band test runs on squared distances (no sqrt, VPU-friendly) with
-  per-point precomputed [lo, hi] bounds, so the same kernel body implements
-  both the exact band ``(r - sqrt(3)/4)^2 < d2 < r^2`` and the widened
-  coarse-stage band.
+* Grid = (voxel blocks, point chunks); the hit matrix accumulates into a
+  VMEM scratch across the point-chunk dimension and is lane-reduced to the
+  per-voxel counts once per voxel block (on the last chunk). TPU grids run
+  sequentially, so the accumulation is race-free by construction — the
+  reference kernel's ``+=`` data race has no analogue here.
+* The band test runs on squared distances (no sqrt, pure VPU) in the
+  subtract-square form ``(vx-px)^2 + ...`` — no |v|^2 - 2vp + |p|^2
+  cancellation — with per-point precomputed [lo, hi] bounds, so the same
+  kernel body implements both the exact band
+  ``(r - sqrt(3)/4)^2 < d2 < r^2`` and the widened coarse-stage band.
 * Padding protocol: padded/masked points carry ``lo = hi = 0`` (can never
   vote, since d2 >= 0 fails ``d2 < 0``); padded voxels sit at -1e9 and are
   sliced away by the caller.
@@ -32,23 +34,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Block sizes: d2 tile is (VOX_BLOCK, PT_CHUNK) f32 = 2 MB in VMEM.
+# Block sizes: the hit-accumulator scratch is (VOX_BLOCK, PT_CHUNK) f32 = 2 MB.
 VOX_BLOCK = 1024
 PT_CHUNK = 512
 
 
-def _vote_kernel(vox_ref, pts_ref, out_ref):
+def _vote_kernel(vox_ref, pts_ref, out_ref, acc_ref):
     """One (voxel-block, point-chunk) tile of pair evaluations.
 
     vox_ref: (VOX_BLOCK, 4) f32 — columns x, y, z, pad.
     pts_ref: (8, PT_CHUNK) f32 — rows x, y, z, lo, hi, pad...
-    out_ref: (VOX_BLOCK, 1) f32 — accumulated votes for this voxel block.
+    out_ref: (VOX_BLOCK, 1) f32 — per-voxel votes (written on last chunk).
+    acc_ref: (VOX_BLOCK, PT_CHUNK) f32 scratch — running hit counts.
     """
     nc = pl.program_id(1)
+    ncb = pl.num_programs(1)
 
     @pl.when(nc == 0)
     def _():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     vx = vox_ref[:, 0:1]
     vy = vox_ref[:, 1:2]
@@ -64,7 +68,11 @@ def _vote_kernel(vox_ref, pts_ref, out_ref):
     dz = vz - pz
     d2 = dx * dx + dy * dy + dz * dz
     hit = jnp.logical_and(d2 > lo, d2 < hi)
-    out_ref[:, :] += jnp.sum(hit.astype(jnp.float32), axis=1, keepdims=True)
+    acc_ref[:, :] += hit.astype(jnp.float32)
+
+    @pl.when(nc == ncb - 1)
+    def _():
+        out_ref[:, :] = jnp.sum(acc_ref[:, :], axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -110,6 +118,7 @@ def vote_counts_pallas(voxels, points, lo, hi, interpret=False):
         out_specs=pl.BlockSpec((VOX_BLOCK, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((v + v_pad, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((VOX_BLOCK, PT_CHUNK), jnp.float32)],
         interpret=interpret,
     )(vox, pts)
     return out[:v, 0]

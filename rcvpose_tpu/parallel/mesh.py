@@ -51,17 +51,18 @@ def sharded_vote_counts(mesh, voxels, points, lo, hi):
     list; ICI carries one (V,)-sized all-reduce. Points must be padded to a
     multiple of the mesh size (masked entries have lo == hi == 0).
     """
-    from jax.experimental.shard_map import shard_map
-
     from rcvpose_tpu.ops.voting import vote_counts
 
     def local(voxels, points, lo, hi):
         partial = vote_counts(voxels, points, lo, hi)
         return jax.lax.psum(partial, "data")
 
-    fn = shard_map(
+    fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data")),
         out_specs=P(),
+        # the scan carry inside vote_counts is device-invariant zeros; skip
+        # the varying-manual-axes check rather than pvary-annotating it
+        check_vma=False,
     )
     return fn(voxels, points, lo, hi)
