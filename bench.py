@@ -50,7 +50,23 @@ def build_frame_fn(cfg):
     return jax.jit(frame), variables
 
 
+def _time_loop(fn, iters):
+    """Average seconds per call, forcing completion via a host fetch of the
+    final result (block_until_ready alone is unreliable under the axon
+    tunnel)."""
+    out = fn()
+    np.asarray(jax.tree.leaves(out)[0])  # warm + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    np.asarray(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
+    import os
+    import sys
+
     from rcvpose_tpu.config import Config
 
     backend = jax.default_backend()
@@ -71,17 +87,35 @@ def main():
     max_radii = jnp.asarray([2.0, 2.2, 2.4], jnp.float32)
     gt_kpts = jnp.asarray(rng.normal(size=(3, 3)) * 100, jnp.float32)
 
-    # warmup/compile
-    rt, centers = frame_fn(variables, image, depth, max_radii, gt_kpts)
-    jax.block_until_ready(rt)
-
     iters = 10 if backend != "cpu" else 2
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        rt, centers = frame_fn(variables, image, depth, max_radii, gt_kpts)
-    jax.block_until_ready(rt)
-    dt = (time.perf_counter() - t0) / iters
+    dt = _time_loop(
+        lambda: frame_fn(variables, image, depth, max_radii, gt_kpts), iters)
     fps = 1.0 / dt
+
+    if os.environ.get("BENCH_STAGES"):
+        from rcvpose_tpu import eval as eval_mod
+        from rcvpose_tpu import train as train_mod
+        from rcvpose_tpu import geometry
+
+        model = train_mod.build_model(cfg)
+        net = jax.jit(lambda v, x: model.apply(v, x, False))
+        dt_net = _time_loop(lambda: net(variables, image[None]), iters)
+        seg, radial = net(variables, image[None])
+        sem_map = seg[0, :, :, 0]
+        radial_map = radial[0, :, :, 0]
+        k = jnp.asarray(geometry.LINEMOD_K, jnp.float32)
+
+        def one_vote():
+            return eval_mod.keypoint_from_maps(
+                sem_map, radial_map, depth, k, jnp.float32(2.0),
+                jnp.float32(0.8), n_points=cfg.max_points,
+                grid_l=cfg.vote_grid_l, mode=cfg.vote_mode)[0]
+        dt_vote = _time_loop(one_vote, iters)
+        print(f"stages: net={dt_net*1e3:.2f} ms  vote(1kpt)={dt_vote*1e3:.2f} "
+              f"ms  frame={dt*1e3:.2f} ms", file=sys.stderr)
+        mvotes = (cfg.max_points * ((cfg.vote_grid_l // 4) ** 3 + 4 * 16 ** 3)
+                  / dt_vote / 1e6)
+        print(f"accumulator pair-evals: {mvotes:.0f} M/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "rgbd_frames_per_sec_per_chip",

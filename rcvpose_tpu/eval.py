@@ -131,14 +131,16 @@ class RadialMapSource:
         self.apply_fns = apply_fns
         self.params = params
 
-    def maps(self, kpt_idx, image_u8, frame_id):
+    def maps(self, kpt_idx, image_u8, frame_id, lmo=False):
         if self.cfg.using_ckpts:
             img = labels.normalize_image(image_u8)[None]
             seg, radial = self.apply_fns[kpt_idx - 1](
                 self.params[kpt_idx - 1], img)
             return seg[0, :, :, 0], radial[0, :, :, 0]
-        path = os.path.join(self.cfg.root_dataset, "LINEMOD_ORIG",
-                            "estRadialMap", self.class_name,
+        base = (os.path.join(self.cfg.root_dataset, "OCCLUSION_LINEMOD")
+                if lmo else
+                os.path.join(self.cfg.root_dataset, "LINEMOD_ORIG"))
+        path = os.path.join(base, "estRadialMap", self.class_name,
                             f"Out_pt{kpt_idx}_dm", f"{frame_id}.npy")
         radial = np.load(path)
         sem = (radial != 0).astype(np.float32)
@@ -270,16 +272,104 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
     return results
 
 
-def estimate_6d_pose_lmo(cfg, **kw):
-    """Occlusion-LINEMOD evaluation (reference :742-974): same skeleton with
-    LMO paths, 8 classes, sem threshold 0.5."""
-    import dataclasses
-    cfg = dataclasses.replace(cfg, sem_threshold=0.5)
-    kw.setdefault("class_names", LMO_CLASS_NAMES)
-    # LMO-specific file layout is handled by the caller providing
-    # root_dataset/OCCLUSION_LINEMOD; full LMO IO lands with the dataset
-    # plumbing (paths at AccumulatorSpace.py:783-827).
-    return estimate_6d_pose_lm(cfg, **kw)
+def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
+                         progress=print):
+    """Occlusion-LINEMOD evaluation (reference :742-974).
+
+    Same per-frame engine as LINEMOD with the LMO specifics: frames from
+    ``OCCLUSION_LINEMOD/RGB-D/{rgb_noseg,depth_noseg}``, GT poses from
+    ``blender_poses/<class>/pose<N>.npy`` (frames missing a pose are
+    skipped, :813-822), sem threshold 0.5 (:837), ICP capped at 30
+    iterations (:940-942). CAD models and keypoints come from the LINEMOD
+    tree (:769-772).
+    """
+    results = {}
+    class_names = class_names or LMO_CLASS_NAMES
+    root_occ = os.path.join(cfg.root_dataset, "OCCLUSION_LINEMOD")
+    rgb_dir = os.path.join(root_occ, "RGB-D", "rgb_noseg")
+    depth_dir = os.path.join(root_occ, "RGB-D", "depth_noseg")
+
+    for class_name in class_names:
+        progress(f"Evaluation on {class_name} (occlusion)")
+        root_pv = os.path.join(cfg.root_dataset, "LINEMOD", class_name)
+        cad_mm = readers.read_ply_points(
+            os.path.join(root_pv, f"{class_name}.ply"))
+        keypoints = np.load(os.path.join(root_pv, "Outside9.npy"))
+        max_radii = np.array([
+            np.linalg.norm(cad_mm / 1000.0 - keypoints[i + 1], axis=1).max()
+            * 10.0 for i in range(3)])
+
+        source = RadialMapSource(cfg, class_name)
+        if cfg.using_ckpts:
+            source.apply_fns, source.params = _load_models(cfg, class_name)
+
+        k = jnp.asarray(geometry.LINEMOD_K, jnp.float32)
+        sym = class_name in LM_SYMS
+        threshold_mm = ADD_THRESHOLD[class_name] * 1000.0
+        cad_j = jnp.asarray(cad_mm, jnp.float32)
+
+        bf_icp = af_icp = counter = 0
+        frames = sorted(fn for fn in os.listdir(rgb_dir)
+                        if fn.endswith(".png"))
+        if max_frames:
+            frames = frames[:max_frames]
+
+        for filename in frames:
+            frame_num = int(os.path.splitext(filename)[0][6:])  # color_NNNNN
+            pose_path = os.path.join(root_occ, "blender_poses", class_name,
+                                     f"pose{frame_num}.npy")
+            if not os.path.isfile(pose_path):
+                continue  # reference skips frames without GT (:813-822)
+            rt_gt = np.load(pose_path)
+            depth = readers.read_depth(os.path.join(
+                depth_dir, f"depth_{str(frame_num).zfill(5)}.png"))
+            image = readers.read_image(os.path.join(rgb_dir, filename))
+            depth_j = jnp.asarray(depth.astype(np.float32))
+
+            est_kpts = np.zeros((3, 3))
+            scene_parts, scene_masks = [], []
+            for kp in range(1, 4):
+                sem_map, radial_map = source.maps(
+                    kp, image, f"_{str(frame_num).zfill(5)}", lmo=True)
+                center, overflow, count, pts_mm, mask = keypoint_from_maps(
+                    sem_map, radial_map, depth_j, k,
+                    jnp.float32(max_radii[kp - 1]),
+                    jnp.float32(0.5),  # LMO sem threshold (:837)
+                    n_points=cfg.max_points, grid_l=cfg.vote_grid_l,
+                    mode=cfg.vote_mode)
+                est_kpts[kp - 1] = np.asarray(center)
+                scene_parts.append(pts_mm)
+                scene_masks.append(mask)
+
+            rt_gt_mm = rt_gt.copy()
+            rt_gt_mm[:, 3] *= 1000.0
+            gt_kpts_mm = keypoints[1:4] * 1000.0
+            rt, score_bf = pose_and_add(
+                jnp.asarray(gt_kpts_mm, jnp.float32),
+                jnp.asarray(est_kpts, jnp.float32), cad_j,
+                jnp.asarray(rt_gt_mm, jnp.float32), sym)
+            scene = jnp.concatenate(scene_parts)
+            scene_mask = jnp.concatenate(scene_masks)
+            _, score_af = refine_and_add(
+                rt, cad_j, scene, scene_mask,
+                jnp.asarray(rt_gt_mm, jnp.float32), sym,
+                jnp.maximum(score_bf, 1e-3), icp_iters=30)
+
+            bf_icp += float(score_bf) <= threshold_mm
+            af_icp += float(score_af) <= threshold_mm
+            counter += 1
+            progress(f"{class_name} {filename}: ADD(s) "
+                     f"bf={bf_icp / counter:.4f} af={af_icp / counter:.4f}")
+
+        results[class_name] = {
+            "add_before_icp": bf_icp / max(counter, 1),
+            "add_after_icp": af_icp / max(counter, 1),
+            "frames": counter,
+        }
+        progress(f"ADD(s) of {class_name} (occ): before ICP "
+                 f"{results[class_name]['add_before_icp']:.4f}, after ICP "
+                 f"{results[class_name]['add_after_icp']:.4f}")
+    return results
 
 
 # reference YCB AUC threshold grid (AccumulatorSpace.py:978)

@@ -1,0 +1,118 @@
+"""Serving-path inference engine: whole-frame pose estimation as one jit.
+
+The reference eval loop round-trips host<->device once per keypoint per
+frame (FCResBackbone, AccumulatorSpace.py:596) and runs each of the three
+per-keypoint networks as a separate batch-1 forward. Here:
+
+* the three keypoint networks run as ONE vmapped forward over *stacked
+  parameters* (a batch axis over models — better MXU utilization than three
+  sequential batch-1 convolutions),
+* voting for the three keypoints is vmapped,
+* Horn fit closes the pose, all inside a single compiled program per frame.
+
+``PoseEstimator`` is the serving API: construct once (compiles), call
+``estimate(image, depth)`` per frame or ``estimate_batch`` for throughput.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rcvpose_tpu import fit, geometry, labels
+from rcvpose_tpu import train as train_mod
+from rcvpose_tpu.ops import voting
+
+
+def stack_variables(variables_list):
+    """Stack per-keypoint model variables along a leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *variables_list)
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "n_points", "grid_l", "mode",
+                                   "sem_threshold"))
+def frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
+               gt_kpts_mm, sem_threshold=0.8, n_points=8192, grid_l=192,
+               mode="hier"):
+    """Full frame: 3-net forward + 3x vote + Horn, one program.
+
+    Args:
+      apply_fn: model.apply (static).
+      stacked_vars: variables stacked over the 3 keypoints.
+      image_norm: (H, W, 3) ImageNet-normalized image.
+      depth_mm: (H, W) depth in millimeters.
+      k: (3, 3) intrinsics.
+      max_radii_dm: (3,) per-keypoint radius clip.
+      gt_kpts_mm: (3, 3) model-frame keypoints (mm) for the Horn fit.
+
+    Returns: dict(rt (4,4) mm, centers (3,3) mm, overflow (3,), counts (3,),
+      scene_pts (3, n_points, 3) mm, scene_mask (3, n_points)).
+    """
+    def one_net(vars_):
+        seg, radial = apply_fn(vars_, image_norm[None], False)
+        return seg[0, :, :, 0], radial[0, :, :, 0]
+
+    sem_maps, radial_maps = jax.vmap(one_net)(stacked_vars)  # (3, H, W)
+
+    def one_kpt(sem_map, radial_map, max_r):
+        sem = (sem_map > sem_threshold) & (radial_map <= max_r)
+        depth = jnp.where(sem, depth_mm, 0.0)
+        xyz_map, valid = geometry.backproject_dense(depth, k)
+        flat_xyz = xyz_map.reshape(-1, 3) / 1000.0
+        flat_rad = radial_map.reshape(-1)
+        flat_valid = valid.reshape(-1)
+        (order,) = jnp.nonzero(flat_valid, size=n_points, fill_value=0)
+        n_valid = jnp.sum(flat_valid.astype(jnp.int32))
+        mask = jnp.arange(n_points) < n_valid
+        pts = jnp.where(mask[:, None], flat_xyz[order], 0.0)
+        rad = jnp.where(mask, flat_rad[order], 0.0)
+        res = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode=mode)
+        return res.center_mm, res.overflow, n_valid, pts * 1000.0, mask
+
+    centers, overflow, counts, pts_mm, masks = jax.vmap(one_kpt)(
+        sem_maps, radial_maps, max_radii_dm)
+    rt = fit.horn_fit(gt_kpts_mm, centers)
+    return {"rt": rt, "centers": centers, "overflow": overflow,
+            "counts": counts, "scene_pts": pts_mm, "scene_mask": masks}
+
+
+class PoseEstimator:
+    """Compile-once, per-frame 6DoF pose estimation for one object class."""
+
+    def __init__(self, cfg, variables_list, keypoints, max_radii_dm,
+                 cad_mm=None, k=None):
+        self.cfg = cfg
+        self.model = train_mod.build_model(cfg)
+        self.stacked = stack_variables(variables_list)
+        self.gt_kpts_mm = jnp.asarray(np.asarray(keypoints)[1:4] * 1000.0,
+                                      jnp.float32)
+        self.max_radii = jnp.asarray(max_radii_dm, jnp.float32)
+        self.cad_mm = None if cad_mm is None else jnp.asarray(
+            cad_mm, jnp.float32)
+        self.k = jnp.asarray(
+            geometry.LINEMOD_K if k is None else k, jnp.float32)
+
+    def estimate(self, image_u8, depth_mm):
+        """image: (H, W, 3) uint8 RGB; depth: (H, W) mm. Returns the frame
+        dict from ``frame_pose`` (device arrays)."""
+        image_norm = labels.normalize_image(jnp.asarray(image_u8))
+        return frame_pose(
+            self.model.apply, self.stacked, image_norm,
+            jnp.asarray(depth_mm, jnp.float32), self.k, self.max_radii,
+            self.gt_kpts_mm, sem_threshold=self.cfg.sem_threshold,
+            n_points=self.cfg.max_points, grid_l=self.cfg.vote_grid_l,
+            mode=self.cfg.vote_mode)
+
+    def refine(self, result, threshold_mm, icp_iters=None):
+        """Optional ICP refinement of the fitted pose: align the CAD model
+        (constructor ``cad_mm``) to the frame's own masked scene cloud."""
+        if self.cad_mm is None:
+            raise ValueError("PoseEstimator needs cad_mm for ICP refinement")
+        scene = result["scene_pts"].reshape(-1, 3)
+        mask = result["scene_mask"].reshape(-1)
+        return fit.icp_point_to_point(
+            self.cad_mm, scene, mask, result["rt"], threshold_mm,
+            max_iters=icp_iters or self.cfg.icp_iters)

@@ -1,0 +1,72 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rcvpose_tpu import infer
+from rcvpose_tpu.config import Config
+from tests.test_eval_e2e import render_synthetic_frame
+
+TINY = (1, 1, 1, 1)
+
+
+def test_stack_variables(rng):
+    from rcvpose_tpu import train as train_mod
+    cfg = Config(compute_dtype="float32")
+    model = train_mod.build_model(cfg, blocks=TINY)
+    vs = [model.init(jax.random.PRNGKey(i), jnp.zeros((1, 32, 32, 3)), False)
+          for i in range(3)]
+    stacked = infer.stack_variables(vs)
+    leaf = jax.tree.leaves(stacked["params"])[0]
+    single = jax.tree.leaves(vs[0]["params"])[0]
+    assert leaf.shape == (3,) + single.shape
+
+
+def test_pose_estimator_synthetic(rng):
+    """PoseEstimator with identity-ish networks is exercised indirectly:
+    here we bypass the net by driving frame_pose's voting path through
+    perfect radial maps, checking the one-program pipeline wiring."""
+    k, pose, model_m, kpts_m, depth_mm, radials = render_synthetic_frame(rng)
+
+    from rcvpose_tpu import fit as fit_mod
+    from rcvpose_tpu.ops import voting
+
+    # emulate the vmapped one_kpt path on perfect maps
+    centers = []
+    for i in range(3):
+        sem = (radials[i] > 0).astype(np.float32)
+        from rcvpose_tpu import eval as eval_mod
+        c, overflow, count, pts, mask = eval_mod.keypoint_from_maps(
+            jnp.asarray(sem), jnp.asarray(radials[i]),
+            jnp.asarray(depth_mm), jnp.asarray(k, jnp.float32),
+            jnp.float32(100.0), jnp.float32(0.5),
+            n_points=1024, grid_l=96, mode="hier")
+        centers.append(np.asarray(c))
+    rt = np.asarray(fit_mod.horn_fit(
+        jnp.asarray(kpts_m * 1000.0, jnp.float32),
+        jnp.asarray(np.stack(centers), jnp.float32)))
+    # pose parity: rotation close to GT
+    np.testing.assert_allclose(rt[:3, :3], pose[:3, :3], atol=0.15)
+    t_err = np.linalg.norm(rt[:3, 3] - pose[:3, 3] * 1000.0)
+    assert t_err < 25.0, t_err
+
+
+def test_frame_pose_compiles_with_tiny_net(rng):
+    cfg = Config(compute_dtype="float32", vote_grid_l=64, max_points=512,
+                 image_height=64, image_width=64)
+    from rcvpose_tpu import train as train_mod
+    model = train_mod.build_model(cfg, blocks=TINY)
+    vs = [model.init(jax.random.PRNGKey(i), jnp.zeros((1, 64, 64, 3)), False)
+          for i in range(3)]
+    est = infer.PoseEstimator(
+        cfg, vs, keypoints=rng.normal(size=(9, 3)) * 0.05,
+        max_radii_dm=[3.0, 3.0, 3.0],
+        cad_mm=rng.normal(size=(64, 3)) * 40)
+    est.model = model  # use the tiny-depth model in apply
+    img = (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    depth = np.zeros((64, 64), np.float32)
+    depth[20:44, 20:44] = 700.0
+    out = est.estimate(img, depth)
+    assert out["rt"].shape == (4, 4)
+    assert out["centers"].shape == (3, 3)
+    rt2 = est.refine(out, threshold_mm=50.0, icp_iters=3)
+    assert rt2.shape == (4, 4)
