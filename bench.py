@@ -21,33 +21,30 @@ BASELINE_FPS = 30.0  # north-star target (BASELINE.md)
 
 
 def build_frame_fn(cfg):
-    from rcvpose_tpu import eval as eval_mod
-    from rcvpose_tpu import fit
+    """The flagship serving path: infer.frame_pose — 3 per-keypoint nets as
+    one vmapped forward over stacked params + 3x hier voting + Horn fit,
+    all one compiled program (BASELINE.json config #2: LINEMOD 'ape' full
+    3-keypoint pipeline)."""
+    from rcvpose_tpu import infer
     from rcvpose_tpu import train as train_mod
     from rcvpose_tpu import geometry
 
     model = train_mod.build_model(cfg)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+    variables_list = [
+        model.init(jax.random.PRNGKey(i),
+                   jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+        for i in range(3)]
+    stacked = infer.stack_variables(variables_list)
     k = jnp.asarray(geometry.LINEMOD_K, jnp.float32)
 
-    def frame(variables, image, depth, max_radii, gt_kpts_mm):
-        seg, radial = model.apply(variables, image[None], False)
-        sem_map = seg[0, :, :, 0]
-        radial_map = radial[0, :, :, 0]
+    def frame(stacked, image_norm, depth, max_radii, gt_kpts_mm):
+        out = infer.frame_pose(
+            model.apply, stacked, image_norm, depth, k, max_radii,
+            gt_kpts_mm, sem_threshold=0.8, n_points=cfg.max_points,
+            grid_l=cfg.vote_grid_l, mode=cfg.vote_mode)
+        return out["rt"], out["centers"]
 
-        def one_kpt(max_r):
-            center, overflow, count, pts, mask = eval_mod.keypoint_from_maps(
-                sem_map, radial_map, depth, k, max_r, jnp.float32(0.8),
-                n_points=cfg.max_points, grid_l=cfg.vote_grid_l,
-                mode=cfg.vote_mode)
-            return center
-
-        centers = jax.vmap(one_kpt)(max_radii)
-        rt = fit.horn_fit(gt_kpts_mm, centers)
-        return rt, centers
-
-    return jax.jit(frame), variables
+    return jax.jit(frame), stacked
 
 
 def _time_loop(fn, iters):
@@ -70,8 +67,11 @@ def main():
     from rcvpose_tpu.config import Config
 
     backend = jax.default_backend()
+    from rcvpose_tpu.ops.voting import suggest_grid_l
+    # LINEMOD 'ape'-class sizing: ~0.10 m diameter, ~2 dm max keypoint radius
+    grid_l = suggest_grid_l(0.102, 2.0)
     cfg = Config(compute_dtype="bfloat16" if backend != "cpu" else "float32",
-                 vote_grid_l=192 if backend != "cpu" else 64,
+                 vote_grid_l=grid_l if backend != "cpu" else 64,
                  max_points=8192 if backend != "cpu" else 1024,
                  vote_mode="hier")
 
@@ -99,8 +99,9 @@ def main():
 
         model = train_mod.build_model(cfg)
         net = jax.jit(lambda v, x: model.apply(v, x, False))
-        dt_net = _time_loop(lambda: net(variables, image[None]), iters)
-        seg, radial = net(variables, image[None])
+        one_vars = jax.tree.map(lambda x: x[0], variables)
+        dt_net = _time_loop(lambda: net(one_vars, image[None]), iters)
+        seg, radial = net(one_vars, image[None])
         sem_map = seg[0, :, :, 0]
         radial_map = radial[0, :, :, 0]
         k = jnp.asarray(geometry.LINEMOD_K, jnp.float32)

@@ -91,6 +91,21 @@ def keypoint_from_maps(sem_map, radial_map, depth_mm, k, max_radius_dm,
     return res.center_mm, res.overflow, count, pts * 1000.0, mask
 
 
+def keypoint_with_retry(cfg, sem_map, radial_map, depth_j, k, max_r,
+                        sem_threshold, retry_grid_l=256):
+    """keypoint_from_maps + host-side fallback to a larger grid when the
+    frame's dynamic extent overflows the class-sized cube (mask-noise
+    outliers can stretch the cloud beyond the reference's usual grid)."""
+    out = keypoint_from_maps(
+        sem_map, radial_map, depth_j, k, max_r, sem_threshold,
+        n_points=cfg.max_points, grid_l=cfg.vote_grid_l, mode=cfg.vote_mode)
+    if bool(out[1]) and retry_grid_l > cfg.vote_grid_l:
+        out = keypoint_from_maps(
+            sem_map, radial_map, depth_j, k, max_r, sem_threshold,
+            n_points=cfg.max_points, grid_l=retry_grid_l, mode=cfg.vote_mode)
+    return out
+
+
 @jax.jit
 def pose_and_add(gt_kpts_mm, est_kpts_mm, cad_mm, rt_gt_mm, sym):
     """Horn fit over the 3 keypoints + ADD(-S) before ICP
@@ -228,12 +243,11 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
                 sem_map, radial_map = source.maps(kp, image, frame_id)
                 net_ns += time.perf_counter_ns() - t0
                 t0 = time.perf_counter_ns()
-                center, overflow, count, pts_mm, mask = keypoint_from_maps(
-                    sem_map, radial_map, depth_j, k,
-                    jnp.float32(max_radii[kp - 1]),
-                    jnp.float32(sem_threshold),
-                    n_points=cfg.max_points, grid_l=cfg.vote_grid_l,
-                    mode=cfg.vote_mode)
+                center, overflow, count, pts_mm, mask = \
+                    keypoint_with_retry(
+                        cfg, sem_map, radial_map, depth_j, k,
+                        jnp.float32(max_radii[kp - 1]),
+                        jnp.float32(sem_threshold))
                 est_kpts[kp - 1] = np.asarray(center)
                 acc_ns += time.perf_counter_ns() - t0
                 scene_parts.append(pts_mm)
@@ -331,12 +345,11 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
             for kp in range(1, 4):
                 sem_map, radial_map = source.maps(
                     kp, image, f"_{str(frame_num).zfill(5)}", lmo=True)
-                center, overflow, count, pts_mm, mask = keypoint_from_maps(
-                    sem_map, radial_map, depth_j, k,
-                    jnp.float32(max_radii[kp - 1]),
-                    jnp.float32(0.5),  # LMO sem threshold (:837)
-                    n_points=cfg.max_points, grid_l=cfg.vote_grid_l,
-                    mode=cfg.vote_mode)
+                center, overflow, count, pts_mm, mask = \
+                    keypoint_with_retry(
+                        cfg, sem_map, radial_map, depth_j, k,
+                        jnp.float32(max_radii[kp - 1]),
+                        jnp.float32(0.5))  # LMO sem threshold (:837)
                 est_kpts[kp - 1] = np.asarray(center)
                 scene_parts.append(pts_mm)
                 scene_masks.append(mask)

@@ -75,8 +75,9 @@ def _vote_kernel(vox_ref, pts_ref, out_ref, acc_ref):
         out_ref[:, :] = jnp.sum(acc_ref[:, :], axis=1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def vote_counts_pallas(voxels, points, lo, hi, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "compute_dtype"))
+def vote_counts_pallas(voxels, points, lo, hi, interpret=False,
+                       compute_dtype=jnp.float32):
     """Vote counts for each voxel center.
 
     Args:
@@ -85,6 +86,11 @@ def vote_counts_pallas(voxels, points, lo, hi, interpret=False):
       lo, hi: (N,) f32 squared-distance band bounds per point
         (masked-out points must have lo == hi == 0).
       interpret: run in the Pallas interpreter (for CPU tests).
+      compute_dtype: pair-evaluation dtype. bfloat16 doubles VPU throughput;
+        integer voxel centers stay exact in bf16 but point coordinates round
+        by up to 0.5 ulp — only valid for bands with enough slack (the hier
+        coarse stage widens its slack accordingly; the exact band must stay
+        float32).
 
     Returns: (V,) f32 vote counts.
     """
@@ -93,14 +99,14 @@ def vote_counts_pallas(voxels, points, lo, hi, interpret=False):
     v_pad = (-v) % VOX_BLOCK
     n_pad = (-n) % PT_CHUNK
 
-    vox = jnp.pad(voxels.astype(jnp.float32), ((0, v_pad), (0, 1)),
+    vox = jnp.pad(voxels.astype(compute_dtype), ((0, v_pad), (0, 1)),
                   constant_values=-1e9)
     # points laid out as (8, N): rows x, y, z, lo, hi, 0, 0, 0.
     pts = jnp.concatenate(
-        [points.astype(jnp.float32).T,
-         lo.astype(jnp.float32)[None, :],
-         hi.astype(jnp.float32)[None, :],
-         jnp.zeros((3, n), jnp.float32)], axis=0)
+        [points.astype(compute_dtype).T,
+         lo.astype(compute_dtype)[None, :],
+         hi.astype(compute_dtype)[None, :],
+         jnp.zeros((3, n), compute_dtype)], axis=0)
     pts = jnp.pad(pts, ((0, 0), (0, n_pad)))
 
     nvb = (v + v_pad) // VOX_BLOCK

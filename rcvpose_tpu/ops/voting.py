@@ -122,11 +122,12 @@ def vote_counts_xla(voxels, points, lo, hi, chunk=512):
     return acc
 
 
-def vote_counts(voxels, points, lo, hi):
+def vote_counts(voxels, points, lo, hi, compute_dtype=jnp.float32):
     """Dispatch: Pallas kernel on TPU, chunked XLA elsewhere."""
     if jax.default_backend() == "tpu":
         from rcvpose_tpu.ops import vote_pallas
-        return vote_pallas.vote_counts_pallas(voxels, points, lo, hi)
+        return vote_pallas.vote_counts_pallas(voxels, points, lo, hi,
+                                              compute_dtype=compute_dtype)
     return vote_counts_xla(voxels, points, lo, hi)
 
 
@@ -153,6 +154,20 @@ def enumerate_grid(grid_l):
     c = jnp.arange(grid_l, dtype=jnp.float32)
     ii, jj, kk = jnp.meshgrid(c, c, c, indexing="ij")
     return jnp.stack([ii.ravel(), jj.ravel(), kk.ravel()], axis=1)
+
+
+def suggest_grid_l(object_diameter_m, max_radial_dm, slack_voxels=16,
+                   multiple=32, cap=256):
+    """Static grid side for a class: the reference's dynamic side is
+    ~ cloud extent + 2 * r_max (AccumulatorSpace.py:394-401); size the cube
+    from the CAD diameter and the keypoint's max radius, rounded up.
+    The runtime ``overflow`` flag still guards mask-noise outliers.
+    """
+    extent_vox = object_diameter_m * 1000.0 / ACC_UNIT_MM
+    rmax_vox = max_radial_dm * 100.0 / ACC_UNIT_MM
+    need = extent_vox + 2.0 * rmax_vox + slack_voxels
+    l = int(-(-need // multiple) * multiple)
+    return min(max(l, 2 * multiple), cap)
 
 
 # ---------------------------------------------------------------------------
@@ -261,10 +276,15 @@ def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
                   + 0.5) * _COARSE - 0.5  # center of each coarse cell
 
     # Any fine voxel inside the exact band lies within
-    # (band + coarse-cell circumradius) of its parent cell's center.
-    slack = VOTE_BAND + math.sqrt(3.0) * _COARSE / 2.0
+    # (band + coarse-cell circumradius) of its parent cell's center. The
+    # coarse stage runs in bfloat16 (2x VPU rate): coordinates in [128, 256)
+    # round by up to 0.5 (bf16 ulp 1.0) on each side and d2 keeps ~2^-8
+    # relative error, so widen the slack by 2.5 voxels to keep the coarse
+    # vote a superset of the fine band.
+    slack = VOTE_BAND + math.sqrt(3.0) * _COARSE / 2.0 + 2.5
     lo_c, hi_c = widened_band(radii_round, point_mask, slack)
-    cvotes = vote_counts(coarse_vox, pts, lo_c, hi_c)
+    cvotes = vote_counts(coarse_vox, pts, lo_c, hi_c,
+                         compute_dtype=jnp.bfloat16)
 
     cb = jnp.ceil(bound / _COARSE)
     cin = cc < cb

@@ -209,6 +209,17 @@ class Trainer:
                                        self.iteration)
                 self.writer.add_scalar("Val_ACC", float(m["acc"]),
                                        self.iteration)
+                # sem-mask image every 50 val batches (reference
+                # train.py:108-109), when the writer supports images
+                if n % 50 == 0 and hasattr(self.writer, "add_image"):
+                    import numpy as np
+                    seg, _ = self.state.apply_fn(
+                        {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats},
+                        batch["image"][:1], False)
+                    sem_img = (np.asarray(seg[0, :, :, 0]) >= 0.5
+                               ).astype(np.float32)[None]
+                    self.writer.add_image("Val_sem", sem_img, self.iteration)
         mean_loss = total / max(n, 1)
         is_best = mean_loss < self.best_val
         if is_best:
