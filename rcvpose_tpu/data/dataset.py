@@ -100,3 +100,41 @@ class LinemodDataset:
             d = np.linalg.norm(self.cad_points_m - self.keypoints[k], axis=1)
             out.append(float(d.max() * 10.0))
         return np.asarray(out)
+
+
+class YcbDataset:
+    """YCB-Video training dataset: precomputed radial labels from per-class
+    HDF5 (reference rmap_dataset.py:62-65, 79-86).
+
+    Note: the reference's YCB __getitem__ branch passes undefined
+    ``depth/mask/gtpose`` into the transform (rmap_dataset.py:87 — a
+    NameError in the reference, never exercised). Here YCB samples carry
+    their precomputed radial map directly; the loader normalizes the image
+    and derives the semantic map from the radial map.
+    """
+
+    def __init__(self, root, class_name, kpt_num=1, split="val"):
+        import h5py
+
+        self.root = root
+        self.class_name = class_name
+        self.kpt_num = int(kpt_num)
+        self._h5path = os.path.join(root, f"{class_name}.hdf5")
+        split_path = os.path.join(root, class_name, "Split", f"{split}.txt")
+        with open(split_path) as f:
+            self.ids = [line.strip() for line in f if line.strip()]
+        self._h5py = h5py
+
+    def __len__(self):
+        return len(self.ids)
+
+    def raw(self, index):
+        img_id = self.ids[index]
+        with self._h5py.File(self._h5path, "r") as f:
+            radial = np.array(f[f"3Dradius_pt{self.kpt_num}_dm"][img_id])
+            if "JPEGImages" in f and img_id in f["JPEGImages"]:
+                image = np.array(f["JPEGImages"][img_id])
+            else:
+                image = np.array(f[img_id])
+        return {"image": image, "radial_dm": radial.astype(np.float32),
+                "img_id": img_id}

@@ -20,6 +20,11 @@ from rcvpose_tpu import labels
 
 
 def _stack_raw(samples):
+    if "radial_dm" in samples[0]:  # precomputed labels (YCB HDF5 path)
+        return {
+            "image": np.stack([s["image"] for s in samples]),
+            "radial_dm": np.stack([s["radial_dm"] for s in samples]),
+        }
     return {
         "image": np.stack([s["image"] for s in samples]),
         "depth": np.stack([s["depth"] for s in samples]).astype(np.float32),
@@ -42,9 +47,12 @@ class BatchLoader:
         self.drop_last = drop_last
         self.ycb_clip = ycb_clip
 
-        kpt = jnp.asarray(self.ds.kpt, jnp.float32)
+        has_geometry = hasattr(dataset, "kpt")
+        kpt = (jnp.asarray(self.ds.kpt, jnp.float32) if has_geometry
+               else jnp.zeros(3, jnp.float32))
         kmat = jnp.asarray(self.k)
-        maxr = jnp.float32(self.ds.max_radii_dm)
+        maxr = (jnp.float32(self.ds.max_radii_dm) if has_geometry
+                else jnp.float32(0.0))
         clip = ycb_clip
 
         @jax.jit
@@ -61,7 +69,20 @@ class BatchLoader:
             return {"image": im[:, :h, :w], "radial": radial[:, :h, :w],
                     "sem": sem[:, :h, :w]}
 
+        @jax.jit
+        def transform_precomputed(image, radial_dm):
+            im = jax.vmap(labels.normalize_image)(image)
+            radial = jnp.asarray(radial_dm, jnp.float32)
+            if clip:
+                radial = jnp.where(radial >= 10.0, 0.0, radial)
+            sem = jnp.where(radial > 0, 1.0, -1.0).astype(jnp.float32)
+            h = im.shape[1] - im.shape[1] % 2
+            w = im.shape[2] - im.shape[2] % 2
+            return {"image": im[:, :h, :w], "radial": radial[:, :h, :w],
+                    "sem": sem[:, :h, :w]}
+
         self._transform = transform_batch
+        self._transform_precomputed = transform_precomputed
 
     def __len__(self):
         n = len(self.ds)
@@ -97,17 +118,22 @@ class BatchLoader:
             item = q.get()
             if item is stop:
                 break
-            yield self._transform(item["image"], item["depth"],
-                                  item["mask"], item["pose"])
+            if "radial_dm" in item:
+                yield self._transform_precomputed(item["image"],
+                                                  item["radial_dm"])
+            else:
+                yield self._transform(item["image"], item["depth"],
+                                      item["mask"], item["pose"])
 
 
 def make_loaders(cfg, dataset_cls=None):
     """(train_loader, val_loader) — both on the 'val' split by default, as
     the reference does (data_loader.py:123)."""
     from rcvpose_tpu import geometry
-    from rcvpose_tpu.data.dataset import LinemodDataset
+    from rcvpose_tpu.data.dataset import LinemodDataset, YcbDataset
 
-    dataset_cls = dataset_cls or LinemodDataset
+    if dataset_cls is None:
+        dataset_cls = LinemodDataset if cfg.dataset == "lm" else YcbDataset
     train_ds = dataset_cls(cfg.root_dataset, cfg.class_name,
                            kpt_num=cfg.kpt_num, split="val")
     val_ds = dataset_cls(cfg.root_dataset, cfg.class_name,

@@ -156,6 +156,30 @@ def enumerate_grid(grid_l):
     return jnp.stack([ii.ravel(), jj.ravel(), kk.ravel()], axis=1)
 
 
+@partial(jax.jit, static_argnames=("grid_l", "mode"))
+def accumulate_3d_no_depth(xyz_hyp_m, radial_dm, point_mask, grid_l=192,
+                           mode="hier"):
+    """RGB-only ablation accumulator: vote over a stack of depth-hypothesis
+    clouds (reference ``Accumulator_3D_no_depth``/``fast_for_no_depth``,
+    AccumulatorSpace.py:421-479 — unused by the main flows and partially
+    broken there; this is the sanitized equivalent).
+
+    Args:
+      xyz_hyp_m: (D, N, 3) hypothesis clouds in meters (one per depth plane,
+        cf. rgbd_to_point_cloud_no_depth, AccumulatorSpace.py:100-120).
+      radial_dm: (N,) radii shared across hypotheses.
+      point_mask: (N,) validity shared across hypotheses.
+
+    Hypothesis clouds are just more voting spheres for the pair kernel:
+    flatten and reuse the standard accumulator.
+    """
+    d, n, _ = xyz_hyp_m.shape
+    flat = xyz_hyp_m.reshape(d * n, 3)
+    radial = jnp.tile(jnp.asarray(radial_dm, jnp.float32), d)
+    mask = jnp.tile(jnp.asarray(point_mask), d)
+    return accumulate_3d(flat, radial, mask, grid_l=grid_l, mode=mode)
+
+
 def suggest_grid_l(object_diameter_m, max_radial_dm, slack_voxels=16,
                    multiple=32, cap=256):
     """Static grid side for a class: the reference's dynamic side is
@@ -276,15 +300,12 @@ def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
                   + 0.5) * _COARSE - 0.5  # center of each coarse cell
 
     # Any fine voxel inside the exact band lies within
-    # (band + coarse-cell circumradius) of its parent cell's center. The
-    # coarse stage runs in bfloat16 (2x VPU rate): coordinates in [128, 256)
-    # round by up to 0.5 (bf16 ulp 1.0) on each side and d2 keeps ~2^-8
-    # relative error, so widen the slack by 2.5 voxels to keep the coarse
-    # vote a superset of the fine band.
-    slack = VOTE_BAND + math.sqrt(3.0) * _COARSE / 2.0 + 2.5
+    # (band + coarse-cell circumradius) of its parent cell's center.
+    # (bf16 pair evaluation is blocked on v5e — Mosaic rejects bf16
+    # comparisons; revisit with an i16-ordered-bits compare epilogue.)
+    slack = VOTE_BAND + math.sqrt(3.0) * _COARSE / 2.0
     lo_c, hi_c = widened_band(radii_round, point_mask, slack)
-    cvotes = vote_counts(coarse_vox, pts, lo_c, hi_c,
-                         compute_dtype=jnp.bfloat16)
+    cvotes = vote_counts(coarse_vox, pts, lo_c, hi_c)
 
     cb = jnp.ceil(bound / _COARSE)
     cin = cc < cb
