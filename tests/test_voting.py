@@ -121,3 +121,25 @@ def test_padded_points_do_not_vote(rng):
     np.testing.assert_allclose(np.asarray(r1.center_mm),
                                np.asarray(r2.center_mm), atol=1e-3)
     assert float(r1.peak_votes) == float(r2.peak_votes)
+
+
+def test_accumulate_no_depth_matches_regular_when_single_hypothesis(rng):
+    pts, radial_dm, _ = synth_cloud(rng, n=80)
+    mask = jnp.ones(80, bool)
+    base = voting.accumulate_3d(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(radial_dm, jnp.float32),
+        mask, grid_l=64, mode="exact")
+    nd = voting.accumulate_3d_no_depth(
+        jnp.asarray(pts[None], jnp.float32), jnp.asarray(radial_dm, jnp.float32),
+        mask, grid_l=64, mode="exact")
+    np.testing.assert_allclose(np.asarray(base.center_mm),
+                               np.asarray(nd.center_mm), atol=1e-3)
+
+
+def test_suggest_grid_l():
+    # ape-like: 0.102 m diameter, 2 dm max radius -> 20 + 80 + 16 = 116 -> 128
+    assert voting.suggest_grid_l(0.102, 2.0) == 128
+    # driller-like: bigger
+    assert voting.suggest_grid_l(0.26, 3.2) >= 192
+    assert voting.suggest_grid_l(0.01, 0.1) == 64   # floor
+    assert voting.suggest_grid_l(10.0, 10.0) == 256  # cap
