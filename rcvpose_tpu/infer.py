@@ -4,9 +4,10 @@ The reference eval loop round-trips host<->device once per keypoint per
 frame (FCResBackbone, AccumulatorSpace.py:596) and runs each of the three
 per-keypoint networks as a separate batch-1 forward. Here:
 
-* the three keypoint networks run as ONE vmapped forward over *stacked
-  parameters* (a batch axis over models — better MXU utilization than three
-  sequential batch-1 convolutions),
+* the three keypoint networks run *sequentially unrolled* inside one
+  program (measured on v5e: vmapping over stacked parameters lowers to
+  batched-weight convolutions that run ~3x slower than three plain convs
+  — 55 ms vs 18 ms for the trio at 480x640 bf16),
 * voting for the three keypoints is vmapped,
 * Horn fit closes the pose, all inside a single compiled program per frame.
 
@@ -41,7 +42,7 @@ def frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
 
     Args:
       apply_fn: model.apply (static).
-      stacked_vars: variables stacked over the 3 keypoints.
+      stacked_vars: variables stacked over the 3 keypoints (leading axis 3).
       image_norm: (H, W, 3) ImageNet-normalized image.
       depth_mm: (H, W) depth in millimeters.
       k: (3, 3) intrinsics.
@@ -55,7 +56,12 @@ def frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
         seg, radial = apply_fn(vars_, image_norm[None], False)
         return seg[0, :, :, 0], radial[0, :, :, 0]
 
-    sem_maps, radial_maps = jax.vmap(one_net)(stacked_vars)  # (3, H, W)
+    # Unrolled sequential applies: vmapping over the stacked params lowers
+    # to batched-weight convs that measure ~3x slower on v5e.
+    maps = [one_net(jax.tree.map(lambda a, i=i: a[i], stacked_vars))
+            for i in range(3)]
+    sem_maps = jnp.stack([m[0] for m in maps])     # (3, H, W)
+    radial_maps = jnp.stack([m[1] for m in maps])  # (3, H, W)
 
     def one_kpt(sem_map, radial_map, max_r):
         sem = (sem_map > sem_threshold) & (radial_map <= max_r)
@@ -72,6 +78,9 @@ def frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
         res = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode=mode)
         return res.center_mm, res.overflow, n_valid, pts * 1000.0, mask
 
+    # vmapped over the 3 keypoints: the three vote kernels batch into one
+    # Pallas call (measured faster than three separate instances — the
+    # opposite tradeoff from the conv trio above).
     centers, overflow, counts, pts_mm, masks = jax.vmap(one_kpt)(
         sem_maps, radial_maps, max_radii_dm)
     rt = fit.horn_fit(gt_kpts_mm, centers)
