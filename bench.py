@@ -30,11 +30,14 @@ def build_frame_fn(cfg):
     from rcvpose_tpu import geometry
 
     model = train_mod.build_model(cfg)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     variables_list = [
-        model.init(jax.random.PRNGKey(i),
-                   jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+        jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+            model.init(jax.random.PRNGKey(i),
+                       jnp.zeros((1, 64, 64, 3), jnp.float32), False))
         for i in range(3)]
-    stacked = infer.stack_variables(variables_list)
+    stacked = tuple(variables_list)  # pre-cast, unstacked serving weights
     k = jnp.asarray(geometry.LINEMOD_K, jnp.float32)
 
     def frame(stacked, image_norm, depth, max_radii, gt_kpts_mm):
@@ -118,7 +121,7 @@ def main():
 
         model = train_mod.build_model(cfg)
         net = jax.jit(lambda v, x: model.apply(v, x, False))
-        one_vars = jax.tree.map(lambda x: x[0], variables)
+        one_vars = variables[0]
         dt_net = _time_loop(lambda: net(one_vars, image[None]), iters)
         seg, radial = net(one_vars, image[None])
         sem_map = seg[0, :, :, 0]

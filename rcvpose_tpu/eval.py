@@ -81,9 +81,7 @@ def keypoint_from_maps(sem_map, radial_map, depth_mm, k, max_radius_dm,
     flat_xyz = xyz_map.reshape(-1, 3) / 1000.0
     flat_rad = radial_map.reshape(-1)
     flat_valid = valid.reshape(-1)
-    (order,) = jnp.nonzero(flat_valid, size=n_points, fill_value=0)
-    n_valid = jnp.sum(flat_valid.astype(jnp.int32))
-    mask = jnp.arange(n_points) < n_valid  # fill_value aliases index 0
+    order, mask = geometry.pack_valid_indices(flat_valid, n_points)
     pts = jnp.where(mask[:, None], flat_xyz[order], 0.0)
     rad = jnp.where(mask, flat_rad[order], 0.0)
     res = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode=mode)

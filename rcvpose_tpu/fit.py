@@ -31,6 +31,31 @@ def _quat_to_rot(q):
     ])
 
 
+def _max_eigvec_4x4(n, squarings=10):
+    """Max-eigenvalue eigenvector of a symmetric 4x4 via shifted repeated
+    squaring.
+
+    ``jnp.linalg.eigh`` lowers to scalar-heavy loops that are pathologically
+    slow to compile and run on TPU for tiny matrices. Instead: Gershgorin-
+    shift to make the spectrum positive with the same top eigenvector, then
+    square the matrix ``squarings`` times (normalizing to avoid overflow) —
+    equivalent to 2^squarings power-iteration steps, so convergence is
+    ratio^1024 for the default: exact to f32 for any nonzero eigengap. All
+    statically unrolled: ~10 4x4 matmuls, no device loops.
+    """
+    row_abs = jnp.sum(jnp.abs(n), axis=1)
+    lower = jnp.min(jnp.diagonal(n) - (row_abs - jnp.abs(jnp.diagonal(n))))
+    c = jnp.maximum(0.0, -lower) + 1e-6 * jnp.max(jnp.abs(n))
+    a = n + c * jnp.eye(4, dtype=n.dtype)
+
+    for _ in range(squarings):
+        a = a / jnp.maximum(jnp.max(jnp.abs(a)), 1e-30)
+        a = jnp.matmul(a, a, precision=jax.lax.Precision.HIGHEST)
+    # a ~ lam^(2^k) v v^T: any non-orthogonal probe lands on v
+    q = a @ jnp.full((4,), 0.5, dtype=n.dtype)
+    return q / jnp.maximum(jnp.linalg.norm(q), 1e-30)
+
+
 def horn_fit(p1, p2, weights=None):
     """Least-squares rigid transform A (4x4) with A[:3] @ [p1, 1] ~= p2.
 
@@ -63,8 +88,7 @@ def horn_fit(p1, p2, weights=None):
         [szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy],
         [sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz],
     ])
-    _, vecs = jnp.linalg.eigh(n)  # ascending eigenvalues
-    q = vecs[:, -1]
+    q = _max_eigvec_4x4(n)
     r = _quat_to_rot(q)
     t = c2 - r @ c1
     a = jnp.eye(4, dtype=jnp.float32)

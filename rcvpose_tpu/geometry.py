@@ -76,6 +76,23 @@ def backproject_dense(depth, k):
     return xyz, depth > 0
 
 
+def pack_valid_indices(flat_valid, n_points):
+    """Indices of the first ``n_points`` True entries (row-major), plus a
+    validity mask.
+
+    TPU-tuned: a min-k over (index if valid else BIG) via ``lax.top_k`` —
+    the size-bounded ``jnp.nonzero`` lowers to a ~ms-scale flat cumsum on
+    TPU, while TopK is a fast native custom-call. Returns (order, mask).
+    """
+    n = flat_valid.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    key = jnp.where(flat_valid, idx, jnp.int32(n))
+    _, order = jax.lax.top_k(-key, n_points)  # smallest keys = first valid
+    count = jnp.sum(flat_valid.astype(jnp.int32))
+    mask = jnp.arange(n_points) < jnp.minimum(count, n_points)
+    return order, mask
+
+
 def depth_to_pointcloud(depth, k, n_points, fill_value=0.0):
     """Back-project and compact valid pixels into a fixed-size point set.
 
@@ -92,9 +109,6 @@ def depth_to_pointcloud(depth, k, n_points, fill_value=0.0):
     flat_xyz = xyz.reshape(-1, 3)
     flat_valid = valid.reshape(-1)
     count = jnp.sum(flat_valid.astype(jnp.int32))
-    # Size-bounded nonzero keeps the reference's row-major pixel order and is
-    # cheaper than a stable argsort over H*W.
-    (idx,) = jnp.nonzero(flat_valid, size=n_points, fill_value=0)
-    mask = jnp.arange(n_points) < count  # fill_value aliases index 0
+    idx, mask = pack_valid_indices(flat_valid, n_points)
     pts = jnp.where(mask[:, None], flat_xyz[idx], fill_value)
     return pts, mask, count

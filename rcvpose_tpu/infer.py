@@ -57,9 +57,15 @@ def frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
         return seg[0, :, :, 0], radial[0, :, :, 0]
 
     # Unrolled sequential applies: vmapping over the stacked params lowers
-    # to batched-weight convs that measure ~3x slower on v5e.
-    maps = [one_net(jax.tree.map(lambda a, i=i: a[i], stacked_vars))
-            for i in range(3)]
+    # to batched-weight convs that measure ~3x slower on v5e. Accept either
+    # a stacked pytree (leading axis 3) or a tuple of three variable trees —
+    # the tuple form avoids per-frame dynamic slicing of the stacked params.
+    if isinstance(stacked_vars, (tuple, list)):
+        var_list = list(stacked_vars)
+    else:
+        var_list = [jax.tree.map(lambda a, i=i: a[i], stacked_vars)
+                    for i in range(3)]
+    maps = [one_net(v) for v in var_list]
     sem_maps = jnp.stack([m[0] for m in maps])     # (3, H, W)
     radial_maps = jnp.stack([m[1] for m in maps])  # (3, H, W)
 
@@ -70,11 +76,13 @@ def frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
         flat_xyz = xyz_map.reshape(-1, 3) / 1000.0
         flat_rad = radial_map.reshape(-1)
         flat_valid = valid.reshape(-1)
-        (order,) = jnp.nonzero(flat_valid, size=n_points, fill_value=0)
+        order, mask = geometry.pack_valid_indices(flat_valid, n_points)
         n_valid = jnp.sum(flat_valid.astype(jnp.int32))
-        mask = jnp.arange(n_points) < n_valid
         pts = jnp.where(mask[:, None], flat_xyz[order], 0.0)
         rad = jnp.where(mask, flat_rad[order], 0.0)
+        # materialize the packed arrays once — without the barrier XLA can
+        # rematerialize the whole 307k-pixel pack chain into every consumer
+        pts, rad, mask = jax.lax.optimization_barrier((pts, rad, mask))
         res = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode=mode)
         return res.center_mm, res.overflow, n_valid, pts * 1000.0, mask
 
@@ -95,7 +103,14 @@ class PoseEstimator:
                  cad_mm=None, k=None):
         self.cfg = cfg
         self.model = train_mod.build_model(cfg)
-        self.stacked = stack_variables(variables_list)
+        # Pre-cast weights to the serving compute dtype once: casting the
+        # ~118M f32 params per frame costs ~GBs of HBM traffic.
+        dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                 else jnp.float32)
+        self.stacked = tuple(
+            jax.tree.map(lambda a: a.astype(dtype)
+                         if a.dtype == jnp.float32 else a, v)
+            for v in variables_list)
         self.gt_kpts_mm = jnp.asarray(np.asarray(keypoints)[1:4] * 1000.0,
                                       jnp.float32)
         self.max_radii = jnp.asarray(max_radii_dm, jnp.float32)

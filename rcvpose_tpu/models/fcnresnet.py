@@ -154,8 +154,19 @@ class DenseFCNResNet152(nn.Module):
         up = _conv_bn_relu(up, 32, train, self.dtype, "conv7")
         out = nn.Conv(self.output_channels, (1, 1), dtype=self.dtype,
                       name="conv8")(up)
-        out = out.astype(jnp.float32)
-        return out[..., :1], out[..., 1:]
+        return _split_heads(out)
+
+
+def _split_heads(out):
+    """(B, H, W, 2) -> ((B, H, W, 1) seg, (B, H, W, 1) radial), f32.
+
+    The channel-major transpose is deliberate: a 2-channel NHWC conv output
+    gets a T(1,128)-tiled layout on TPU that poisons every downstream
+    elementwise pass over the full-resolution maps (~6 ms/map measured);
+    transposing forces one cheap relayout into spatially-tiled maps.
+    """
+    out = jnp.transpose(out.astype(jnp.float32), (3, 0, 1, 2))  # (2, B, H, W)
+    return out[0][..., None], out[1][..., None]
 
 
 class ResFCNResNet152(nn.Module):
@@ -199,5 +210,4 @@ class ResFCNResNet152(nn.Module):
         up = _conv_bn_relu(up, 64, train, self.dtype, "conv7")
         out = nn.Conv(self.output_channels, (1, 1), dtype=self.dtype,
                       name="conv8")(up)
-        out = out.astype(jnp.float32)
-        return out[..., :1], out[..., 1:]
+        return _split_heads(out)
