@@ -76,10 +76,33 @@ def _conv_bn_relu(x, features, train, dtype, name):
     return nn.relu(x)
 
 
+def _up2x_axis(x, axis):
+    """Bilinear x2 along one spatial axis, half-pixel centers with edge
+    clamp — exactly ``jax.image.resize(..., 'bilinear')`` / torch
+    ``align_corners=False`` semantics for integer x2 scaling."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, mode="edge")
+    n = x.shape[axis]
+    lo = jax.lax.slice_in_dim(xp, 0, n, axis=axis)        # x[i-1]
+    mid = jax.lax.slice_in_dim(xp, 1, n + 1, axis=axis)   # x[i]
+    hi = jax.lax.slice_in_dim(xp, 2, n + 2, axis=axis)    # x[i+1]
+    even = 0.25 * lo + 0.75 * mid
+    odd = 0.75 * mid + 0.25 * hi
+    out = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return out.reshape(shape)
+
+
 def jax_resize2x(x):
-    """Bilinear x2 upsample, half-pixel centers (torch align_corners=False)."""
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+    """Bilinear x2 upsample (torch align_corners=False semantics).
+
+    Hand-rolled from pad/slice/stack instead of ``jax.image.resize``: the
+    gather-based resize lowering drags the decoder into W-major layouts on
+    TPU (measured 2.5 ms of relayout copies per conv7 at 480x640)."""
+    x = _up2x_axis(x, 1)
+    return _up2x_axis(x, 2)
 
 
 class _Encoder(nn.Module):
@@ -160,12 +183,16 @@ class DenseFCNResNet152(nn.Module):
 def _split_heads(out):
     """(B, H, W, 2) -> ((B, H, W, 1) seg, (B, H, W, 1) radial), f32.
 
-    The channel-major transpose is deliberate: a 2-channel NHWC conv output
-    gets a T(1,128)-tiled layout on TPU that poisons every downstream
-    elementwise pass over the full-resolution maps (~6 ms/map measured);
-    transposing forces one cheap relayout into spatially-tiled maps.
+    A 2-channel NHWC conv output gets a T(1,128)-tiled layout on TPU that
+    poisons every downstream elementwise pass over the full-resolution maps
+    (~6 ms/map measured); a plain transpose gets bitcast-folded, so the
+    channel-major view is pinned to the default layout with a Pallas
+    identity copy (one cheap materialized relayout).
     """
+    from rcvpose_tpu.ops.layout import force_standard_layout
+
     out = jnp.transpose(out.astype(jnp.float32), (3, 0, 1, 2))  # (2, B, H, W)
+    out = force_standard_layout(out)
     return out[0][..., None], out[1][..., None]
 
 

@@ -68,3 +68,13 @@ def test_train_mode_updates_batch_stats(small_input):
     after = jax.tree.leaves(mutated["batch_stats"])
     diffs = [float(jnp.abs(a - b).max()) for a, b in zip(before, after)]
     assert max(diffs) > 0
+
+
+def test_up2x_matches_jax_image_resize(rng):
+    from rcvpose_tpu.models.fcnresnet import jax_resize2x
+
+    x = jnp.asarray(rng.normal(size=(2, 7, 9, 5)).astype(np.float32))
+    got = jax_resize2x(x)
+    ref = jax.image.resize(x, (2, 14, 18, 5), method="bilinear")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
