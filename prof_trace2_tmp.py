@@ -22,15 +22,15 @@ def frame(vl, im):
     return out["rt"]
 
 np.asarray(frame(vlist, img))
-jax.profiler.start_trace("/tmp/rcv_trace2")
+jax.profiler.start_trace("/tmp/rcv_trace3")
 for _ in range(3):
     r = frame(vlist, img)
 np.asarray(r)
 jax.profiler.stop_trace()
 
 from jax.profiler import ProfileData
-files = glob.glob("/tmp/rcv_trace2/**/*.xplane.pb", recursive=True)
-pd = ProfileData.from_file(files[-1])
+files = glob.glob("/tmp/rcv_trace3/**/*.xplane.pb", recursive=True)
+pd = ProfileData.from_file(sorted(files)[-1])
 for plane in pd.planes:
     if "TPU" not in plane.name:
         continue
