@@ -20,7 +20,7 @@ def build_parser():
     parser = argparse.ArgumentParser(prog="rcvpose-tpu")
     defaults = Config()
     parser.add_argument("--mode", default=defaults.mode,
-                        choices=["train", "test", "benchmark"])
+                        choices=["train", "test", "benchmark", "gen-labels"])
     parser.add_argument("--dname", "--dataset", dest="dataset",
                         default=defaults.dataset, choices=["lm", "lmo", "ycb"])
     parser.add_argument("--root_dataset", default=defaults.root_dataset)
@@ -107,12 +107,26 @@ def run_test(cfg):
     return eval_mod.estimate_6d_pose_lm(cfg)
 
 
+def run_gen_labels(cfg):
+    """Offline GT radial-map generation (reference 3DRadius_* scripts)."""
+    from rcvpose_tpu.data import genlabels
+
+    if cfg.dataset == "lm":
+        genlabels.generate_lm(cfg.root_dataset, cfg.class_name)
+    else:
+        from rcvpose_tpu.eval import YCB_CLASS_NAMES
+        class_id = {v: k for k, v in YCB_CLASS_NAMES.items()}[cfg.class_name]
+        genlabels.generate_ycb(cfg.root_dataset, cfg.class_name, class_id)
+
+
 def main(argv=None):
     cfg = config_from_args(argv)
     if cfg.mode == "train":
         run_train(cfg)
     elif cfg.mode == "test":
         run_test(cfg)
+    elif cfg.mode == "gen-labels":
+        run_gen_labels(cfg)
     else:
         import runpy
         runpy.run_path("bench.py", run_name="__main__")

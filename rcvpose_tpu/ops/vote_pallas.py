@@ -40,12 +40,15 @@ PT_CHUNK = 512
 
 
 def _vote_kernel(vox_ref, pts_ref, out_ref, acc_ref):
-    """One (voxel-block, point-chunk) tile of pair evaluations.
+    """One (voxel-block, point-chunk) tile of pair evaluations (VPU form).
 
     vox_ref: (VOX_BLOCK, 4) f32 — columns x, y, z, pad.
     pts_ref: (8, PT_CHUNK) f32 — rows x, y, z, lo, hi, pad...
     out_ref: (VOX_BLOCK, 1) f32 — per-voxel votes (written on last chunk).
     acc_ref: (VOX_BLOCK, PT_CHUNK) f32 scratch — running hit counts.
+
+    The subtract-square distance form is kept exactly as the oracle computes
+    it — this is the parity kernel for the 'exact' accumulator mode.
     """
     nc = pl.program_id(1)
     ncb = pl.num_programs(1)
@@ -73,6 +76,89 @@ def _vote_kernel(vox_ref, pts_ref, out_ref, acc_ref):
     @pl.when(nc == ncb - 1)
     def _():
         out_ref[:, :] = jnp.sum(acc_ref[:, :], axis=1, keepdims=True)
+
+
+def _vote_kernel_mxu(vox_ref, pts_ref, band_ref, out_ref, acc_ref):
+    """MXU form: d2 = [vx,vy,vz,v2,1] . [-2px,-2py,-2pz,1,p2] in one matmul.
+
+    vox_ref: (VOX_BLOCK, 8) f32 — columns x, y, z, |v|^2, 1, 0...
+    pts_ref: (8, PT_CHUNK) f32 — rows -2x, -2y, -2z, 1, |p|^2, 0...
+    band_ref: (8, PT_CHUNK) f32 — rows lo, hi, 0...
+    The epilogue is 4 VPU ops/pair instead of 12; d2 carries ~1e-2 absolute
+    error from the |v|^2 - 2vp + |p|^2 cancellation — negligible against the
+    band widths of the hier mode, so this kernel serves hier only ('exact'
+    keeps the subtract-square kernel).
+    """
+    nc = pl.program_id(1)
+    ncb = pl.num_programs(1)
+
+    @pl.when(nc == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    d2 = jax.lax.dot_general(
+        vox_ref[:, :], pts_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    lo = band_ref[0:1, :]
+    hi = band_ref[1:2, :]
+    hit = jnp.logical_and(d2 > lo, d2 < hi)
+    acc_ref[:, :] += hit.astype(jnp.float32)
+
+    @pl.when(nc == ncb - 1)
+    def _():
+        out_ref[:, :] = jnp.sum(acc_ref[:, :], axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def vote_counts_pallas_mxu(voxels, points, lo, hi, interpret=False):
+    """MXU-form pair evaluation (see ``_vote_kernel_mxu``); hier mode only."""
+    v = voxels.shape[0]
+    n = points.shape[0]
+    v_pad = (-v) % VOX_BLOCK
+    n_pad = (-n) % PT_CHUNK
+
+    voxf = voxels.astype(jnp.float32)
+    v2 = jnp.sum(voxf * voxf, axis=1, keepdims=True)
+    vox = jnp.concatenate(
+        [voxf, v2, jnp.ones((v, 1), jnp.float32),
+         jnp.zeros((v, 3), jnp.float32)], axis=1)
+    vox = jnp.pad(vox, ((0, v_pad), (0, 0)), constant_values=0.0)
+    # padded voxels: all-zero rows give d2 = 0, which never satisfies
+    # d2 > lo for the lo >= 0 bands; padded rows are sliced off anyway.
+
+    ptsf = points.astype(jnp.float32)
+    p2 = jnp.sum(ptsf * ptsf, axis=1)
+    pts = jnp.concatenate(
+        [-2.0 * ptsf.T, jnp.ones((1, n), jnp.float32), p2[None, :],
+         jnp.zeros((3, n), jnp.float32)], axis=0)
+    pts = jnp.pad(pts, ((0, 0), (0, n_pad)))
+    band = jnp.concatenate(
+        [lo.astype(jnp.float32)[None, :], hi.astype(jnp.float32)[None, :],
+         jnp.zeros((6, n), jnp.float32)], axis=0)
+    band = jnp.pad(band, ((0, 0), (0, n_pad)))
+
+    nvb = (v + v_pad) // VOX_BLOCK
+    ncb = (n + n_pad) // PT_CHUNK
+    out = pl.pallas_call(
+        _vote_kernel_mxu,
+        grid=(nvb, ncb),
+        in_specs=[
+            pl.BlockSpec((VOX_BLOCK, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, PT_CHUNK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, PT_CHUNK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((VOX_BLOCK, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((v + v_pad, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((VOX_BLOCK, PT_CHUNK), jnp.float32)],
+        interpret=interpret,
+    )(vox, pts, band)
+    return out[:v, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "compute_dtype"))

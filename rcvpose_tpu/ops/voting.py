@@ -122,12 +122,19 @@ def vote_counts_xla(voxels, points, lo, hi, chunk=512):
     return acc
 
 
-def vote_counts(voxels, points, lo, hi, compute_dtype=jnp.float32):
-    """Dispatch: Pallas kernel on TPU, chunked XLA elsewhere."""
+def vote_counts(voxels, points, lo, hi, mxu=False):
+    """Dispatch: Pallas kernel on TPU, chunked XLA elsewhere.
+
+    ``mxu=True`` selects the matmul-form kernel (d2 via |v|^2 - 2vp + |p|^2
+    on the MXU). Measured SLOWER than the VPU form on v5e (K=8 matmuls at
+    HIGHEST precision don't amortize), so nothing uses it by default; kept
+    as a documented exploration for hardware where the tradeoff flips.
+    """
     if jax.default_backend() == "tpu":
         from rcvpose_tpu.ops import vote_pallas
-        return vote_pallas.vote_counts_pallas(voxels, points, lo, hi,
-                                              compute_dtype=compute_dtype)
+        if mxu:
+            return vote_pallas.vote_counts_pallas_mxu(voxels, points, lo, hi)
+        return vote_pallas.vote_counts_pallas(voxels, points, lo, hi)
     return vote_counts_xla(voxels, points, lo, hi)
 
 
