@@ -9,8 +9,11 @@ Architectural parity with the reference torch models
   map split into (segmentation, radial) heads.
 * ``ResFCNResNet152`` (fcnresnet.py:194-323) — same encoder, decoder with
   *additive* skips through 1x1 channel-lift convs. The reference applies
-  ``up1`` twice (fcnresnet.py:311-313), yielding 2x-input-resolution output —
-  reproduced only behind ``double_up1=True`` (documented reference bug).
+  ``up1`` twice (fcnresnet.py:311-313); that second application is the 5th
+  ladder step (H/2 -> H), so reference output is input resolution — matched
+  by the default ``double_up1=False`` (verified numerically against the
+  torch model in tests/test_torch_parity.py). ``double_up1=True`` adds a 6th
+  upsample (2x-resolution output) and matches nothing in the reference.
 
 TPU-first choices: NHWC layout, bf16-capable compute dtype with f32 params,
 BatchNorm statistics in f32. Convolution kernels stay in XLA (conv fusion on
@@ -199,9 +202,11 @@ def _split_heads(out):
 class ResFCNResNet152(nn.Module):
     """Additive-skip decoder variant (reference fcnresnet.py:194-323).
 
-    ``double_up1=True`` reproduces the reference's double ``up1``
-    (fcnresnet.py:311-313) which emits output at 2x the input resolution;
-    the default applies it once so output matches input size.
+    The default ``double_up1=False`` reproduces the reference exactly: its
+    two ``up1`` calls (fcnresnet.py:311-313) are this decoder's 5 total
+    upsamples (H/32 -> H), same as ours (proved bit-close in
+    tests/test_torch_parity.py). ``double_up1=True`` adds one extra final
+    upsample (2x-resolution output) as an experimental option only.
     """
     input_channels: int = 3
     output_channels: int = 2
