@@ -21,10 +21,11 @@ BASELINE_FPS = 30.0  # north-star target (BASELINE.md)
 
 
 def build_frame_fn(cfg):
-    """The flagship serving path: infer.frame_pose — 3 per-keypoint nets as
-    one vmapped forward over stacked params + 3x hier voting + Horn fit,
-    all one compiled program (BASELINE.json config #2: LINEMOD 'ape' full
-    3-keypoint pipeline)."""
+    """The flagship serving path: infer.frame_pose — 3 per-keypoint nets run
+    sequentially (measured 3x faster than a vmapped stacked-params forward
+    on v5e; see infer.py) + 3x hier voting + Horn fit, all one compiled
+    program (BASELINE.json config #2: LINEMOD 'ape' full 3-keypoint
+    pipeline)."""
     from rcvpose_tpu import infer
     from rcvpose_tpu import train as train_mod
     from rcvpose_tpu import geometry
@@ -114,38 +115,76 @@ def main():
     iters = 10 if backend != "cpu" else 2
     fps = 1.0 / dt
 
-    if os.environ.get("BENCH_STAGES"):
-        from rcvpose_tpu import eval as eval_mod
-        from rcvpose_tpu import train as train_mod
-        from rcvpose_tpu import geometry
+    # Per-stage timings + accumulator throughput (BASELINE.md requires
+    # Mvotes/s to be *reported*, not hidden behind an env var).
+    from rcvpose_tpu import eval as eval_mod
+    from rcvpose_tpu import train as train_mod
+    from rcvpose_tpu import geometry
 
-        model = train_mod.build_model(cfg)
-        net = jax.jit(lambda v, x: model.apply(v, x, False))
-        one_vars = variables[0]
-        dt_net = _time_loop(lambda: net(one_vars, image[None]), iters)
-        seg, radial = net(one_vars, image[None])
-        sem_map = seg[0, :, :, 0]
-        radial_map = radial[0, :, :, 0]
-        k = jnp.asarray(geometry.LINEMOD_K, jnp.float32)
+    model = train_mod.build_model(cfg)
+    net = jax.jit(lambda v, x: model.apply(v, x, False))
+    one_vars = variables[0]
+    dt_net = _time_loop(lambda: net(one_vars, image[None]), iters)
+    seg, radial = net(one_vars, image[None])
+    sem_map = seg[0, :, :, 0]
+    radial_map = radial[0, :, :, 0]
+    k = jnp.asarray(geometry.LINEMOD_K, jnp.float32)
 
-        def one_vote():
-            return eval_mod.keypoint_from_maps(
-                sem_map, radial_map, depth, k, jnp.float32(2.0),
-                jnp.float32(0.8), n_points=cfg.max_points,
-                grid_l=cfg.vote_grid_l, mode=cfg.vote_mode)[0]
-        dt_vote = _time_loop(one_vote, iters)
-        print(f"stages: net={dt_net*1e3:.2f} ms  vote(1kpt)={dt_vote*1e3:.2f} "
-              f"ms  frame={dt*1e3:.2f} ms", file=sys.stderr)
-        mvotes = (cfg.max_points * ((cfg.vote_grid_l // 4) ** 3 + 4 * 16 ** 3)
-                  / dt_vote / 1e6)
-        print(f"accumulator pair-evals: {mvotes:.0f} M/s", file=sys.stderr)
+    def one_vote(mode=cfg.vote_mode):
+        return eval_mod.keypoint_from_maps(
+            sem_map, radial_map, depth, k, jnp.float32(2.0),
+            jnp.float32(0.8), n_points=cfg.max_points,
+            grid_l=cfg.vote_grid_l, mode=mode)[0]
+    dt_vote = _time_loop(one_vote, iters)
+    # Pair-evaluations the hier mode actually performs per keypoint...
+    hier_evals = cfg.max_points * ((cfg.vote_grid_l // 4) ** 3 + 4 * 16 ** 3)
+    mvotes = hier_evals / dt_vote / 1e6
+    # ...and the O(N*L^3) evaluations the reference loop needs for the same
+    # keypoint (its Mvotes/s equivalent throughput at our wall-clock).
+    ref_evals = cfg.max_points * cfg.vote_grid_l ** 3
+    mvotes_ref_equiv = ref_evals / dt_vote / 1e6
 
-    print(json.dumps({
+    # Exact (reference-equivalent) mode at the same production size; on the
+    # single-core CPU fallback this is ~17G pair-evals, so TPU only.
+    dt_exact = None
+    if backend != "cpu":
+        dt_exact = _time_loop(lambda: one_vote("exact"), max(2, iters // 2))
+        mvotes_exact = ref_evals / dt_exact / 1e6
+
+    fit_iters = iters * 10
+    from rcvpose_tpu import fit as fit_mod
+    gt_dev = jnp.asarray(gt_kpts)
+    est_dev = gt_dev + 1.0
+    horn = jax.jit(fit_mod.horn_fit)
+    dt_fit = _time_loop(lambda: horn(gt_dev, est_dev), fit_iters)
+
+    print(f"stages: net={dt_net*1e3:.2f} ms  vote(1kpt,{cfg.vote_mode})="
+          f"{dt_vote*1e3:.2f} ms  fit={dt_fit*1e3:.3f} ms  "
+          f"frame={dt*1e3:.2f} ms", file=sys.stderr)
+    print(f"accumulator: {mvotes:.0f} M pair-evals/s (hier), "
+          f"{mvotes_ref_equiv:.0f} M reference-equivalent votes/s"
+          + (f"; exact mode {dt_exact*1e3:.1f} ms/kpt "
+             f"({mvotes_exact:.0f} M votes/s)" if dt_exact else ""),
+          file=sys.stderr)
+
+    record = {
         "metric": "rgbd_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+        "net_ms": round(dt_net * 1e3, 3),
+        "vote_ms_per_kpt": round(dt_vote * 1e3, 3),
+        "fit_ms": round(dt_fit * 1e3, 4),
+        "frame_ms": round(dt * 1e3, 3),
+        "mvotes_per_sec": round(mvotes, 1),
+        "mvotes_ref_equiv_per_sec": round(mvotes_ref_equiv, 1),
+        "vote_grid_l": cfg.vote_grid_l,
+        "vote_points": cfg.max_points,
+    }
+    if dt_exact is not None:
+        record["exact_vote_ms_per_kpt"] = round(dt_exact * 1e3, 3)
+        record["exact_mvotes_per_sec"] = round(mvotes_exact, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

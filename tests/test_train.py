@@ -11,7 +11,11 @@ from rcvpose_tpu.config import Config
 TINY = (1, 1, 1, 1)
 
 
+# 32x32 is the smallest size where all 5 encoder scales stay distinct. The
+# runner is ONE CPU core emulating 8 devices (~10 s/step), so steps are few
+# and the test lr is boosted to make loss-decrease visible in 3 steps.
 def tiny_cfg(**kw):
+    kw.setdefault("initial_lr", 1e-3)
     return Config(compute_dtype="float32", image_height=32, image_width=32,
                   batch_size=8, **kw)
 
@@ -55,15 +59,17 @@ def test_lr_schedule():
 
 def test_train_step_reduces_loss_on_mesh(rng):
     cfg = tiny_cfg()
-    mesh = parallel.data_mesh()
-    assert mesh.devices.size == 8, "conftest should give 8 CPU devices"
+    # 2-device mesh: same pjit DP code path as 8 (psum over 'data'), 4x less
+    # single-core emulation cost; the 8-device proof is the driver dryrun.
+    mesh = parallel.data_mesh(2)
+    assert jax.device_count() == 8, "conftest should give 8 CPU devices"
     state = train.create_state(cfg, jax.random.PRNGKey(0), blocks=TINY,
                                sample_shape=(1, 32, 32, 3))
     p_train, p_eval = train.make_parallel_steps(mesh)
     batch = parallel.shard_batch(mesh, synth_batch(rng))
 
     first = None
-    for i in range(8):
+    for i in range(3):
         state, m = p_train(state, batch)
         if first is None:
             first = float(m["loss"])
@@ -79,8 +85,8 @@ def test_train_step_reduces_loss_on_mesh(rng):
 def test_trainer_loop_runs_and_checkpoints(rng, tmp_path):
     from rcvpose_tpu.checkpoint import Checkpointer
 
-    cfg = dataclasses.replace(tiny_cfg(), max_iterations=6)
-    mesh = parallel.data_mesh()
+    cfg = dataclasses.replace(tiny_cfg(), max_iterations=3)
+    mesh = parallel.data_mesh(2)
     state = train.create_state(cfg, jax.random.PRNGKey(0), blocks=TINY,
                                sample_shape=(1, 32, 32, 3))
     batch = synth_batch(rng)
@@ -100,7 +106,7 @@ def test_trainer_loop_runs_and_checkpoints(rng, tmp_path):
         val_batches=lambda: [batch],
         checkpointer=ckpt, writer=writer)
     final_state = trainer.fit(max_epochs=5)
-    assert trainer.iteration == 6  # capped by max_iterations
+    assert trainer.iteration == 3  # capped by max_iterations mid-epoch
     assert any(t == "Train_sum" for t, _, _ in writer.scalars)
     assert any(t == "Val_ACC" for t, _, _ in writer.scalars)
 
