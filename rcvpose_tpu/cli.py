@@ -48,10 +48,40 @@ def build_parser():
     parser.add_argument("--no_ckpts", dest="using_ckpts",
                         action="store_false",
                         help="use precomputed estRadialMap npy files")
+    parser.add_argument("--eval_classes", default=defaults.eval_classes,
+                        help="comma-separated class subset for --mode test "
+                             "(default: every dataset class, like the "
+                             "reference)")
     parser.add_argument("--demo_mode", action="store_true")
     parser.add_argument("--test_occ", action="store_true")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() "
+                             "before mesh construction (no-op on one host)")
     parser.add_argument("--seed", type=int, default=defaults.seed)
     return parser
+
+
+def maybe_init_distributed(cfg):
+    """Multi-host runtime init, gated on ``--distributed``.
+
+    Calls ``jax.distributed.initialize()`` before any mesh construction so a
+    multi-host launch (one process per host, coordinator via JAX/cluster env
+    vars) sees the global device set; ``parallel.data_mesh()`` and the pjit
+    shardings then work unchanged (parallel/mesh.py). On a single host with
+    no coordinator environment this is a logged no-op — local behavior is
+    identical with or without the flag. Returns True iff the distributed
+    runtime was initialized.
+    """
+    if not cfg.distributed:
+        return False
+    import jax
+
+    try:
+        jax.distributed.initialize()
+        return True
+    except Exception as exc:  # no coordinator env -> stay single-host
+        print(f"distributed init skipped (single-host): {exc}")
+        return False
 
 
 def config_from_args(argv=None):
@@ -71,6 +101,7 @@ def run_train(cfg):
     from rcvpose_tpu.checkpoint import Checkpointer
     from rcvpose_tpu.data.loader import make_loaders
 
+    maybe_init_distributed(cfg)
     log_dir = utils.get_log_dir(cfg)
     try:
         from tensorboardX import SummaryWriter
@@ -100,11 +131,18 @@ def run_train(cfg):
 def run_test(cfg):
     from rcvpose_tpu import eval as eval_mod
 
+    maybe_init_distributed(cfg)
+    classes = ([c.strip() for c in cfg.eval_classes.split(",") if c.strip()]
+               or None)
     if cfg.dataset == "ycb":
-        return eval_mod.estimate_6d_pose_ycb(cfg)
+        ycb_ids = None
+        if classes:
+            name_to_id = {v: k for k, v in eval_mod.YCB_CLASS_NAMES.items()}
+            ycb_ids = [name_to_id[c] for c in classes]
+        return eval_mod.estimate_6d_pose_ycb(cfg, class_ids=ycb_ids)
     if cfg.test_occ or cfg.dataset == "lmo":
-        return eval_mod.estimate_6d_pose_lmo(cfg)
-    return eval_mod.estimate_6d_pose_lm(cfg)
+        return eval_mod.estimate_6d_pose_lmo(cfg, class_names=classes)
+    return eval_mod.estimate_6d_pose_lm(cfg, class_names=classes)
 
 
 def run_gen_labels(cfg):
@@ -128,8 +166,14 @@ def main(argv=None):
     elif cfg.mode == "gen-labels":
         run_gen_labels(cfg)
     else:
+        import os
         import runpy
-        runpy.run_path("bench.py", run_name="__main__")
+
+        # CWD-independent: bench.py sits next to the package directory
+        bench = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py")
+        runpy.run_path(bench, run_name="__main__")
 
 
 if __name__ == "__main__":

@@ -45,11 +45,13 @@ class Config:
     max_points: int = 8192            # padded point-cloud size for voting
     # --- eval ---
     using_ckpts: bool = True          # net inference vs precomputed radial maps
+    eval_classes: str = ""            # comma list; "" = all dataset classes
     sem_threshold: float = 0.8        # lm (AccumulatorSpace.py:603); lmo uses 0.5
     icp_iters: int = 30
     demo_mode: bool = False
     test_occ: bool = False
     # --- infra ---
+    distributed: bool = False         # multi-host: jax.distributed.initialize
     out_dir: str = "logs"
     model_dir: str = "ckpts"
     seed: int = 0

@@ -124,17 +124,30 @@ class YcbDataset:
         with open(split_path) as f:
             self.ids = [line.strip() for line in f if line.strip()]
         self._h5py = h5py
+        self._h5 = None  # lazy per-process handle (h5py files don't fork)
 
     def __len__(self):
         return len(self.ids)
 
+    def _file(self):
+        # One persistent read handle: opening/closing the gzip HDF5 per
+        # sample dominates per-frame cost otherwise.
+        if self._h5 is None:
+            self._h5 = self._h5py.File(self._h5path, "r")
+        return self._h5
+
+    def close(self):
+        if self._h5 is not None:
+            self._h5.close()
+            self._h5 = None
+
     def raw(self, index):
         img_id = self.ids[index]
-        with self._h5py.File(self._h5path, "r") as f:
-            radial = np.array(f[f"3Dradius_pt{self.kpt_num}_dm"][img_id])
-            if "JPEGImages" in f and img_id in f["JPEGImages"]:
-                image = np.array(f["JPEGImages"][img_id])
-            else:
-                image = np.array(f[img_id])
+        f = self._file()
+        radial = np.array(f[f"3Dradius_pt{self.kpt_num}_dm"][img_id])
+        if "JPEGImages" in f and img_id in f["JPEGImages"]:
+            image = np.array(f["JPEGImages"][img_id])
+        else:
+            image = np.array(f[img_id])
         return {"image": image, "radial_dm": radial.astype(np.float32),
                 "img_id": img_id}

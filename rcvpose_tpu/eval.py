@@ -89,6 +89,28 @@ def keypoint_from_maps(sem_map, radial_map, depth_mm, k, max_radius_dm,
     return res.center_mm, res.overflow, count, pts * 1000.0, mask
 
 
+@partial(jax.jit, static_argnames=("n_points", "n_hyp", "grid_l", "mode"))
+def keypoint_from_maps_no_depth(sem_map, radial_map, k, z_min_m,
+                                max_radius_dm, sem_threshold, n_points=2048,
+                                n_hyp=32, grid_l=192, mode="hier",
+                                step_m=1e-3):
+    """RGB-only ablation: keypoint from (sem, radial) maps WITHOUT depth.
+
+    Closes the reference's dead no-depth loop (``rgbd_to_point_cloud_no_depth``
+    -> ``Accumulator_3D_no_depth``, AccumulatorSpace.py:100-120, 421-479,
+    never reachable there): masked pixels are back-projected onto ``n_hyp``
+    hypothesized depth planes starting at ``z_min_m`` (``step_m`` apart) and
+    every hypothesis point votes with the pixel's radial prediction.
+    """
+    sem = (sem_map > sem_threshold) & (radial_map <= max_radius_dm)
+    clouds, mask, order, count = geometry.depth_hypothesis_clouds(
+        sem, k, z_min_m, n_hyp, n_points, step_m=step_m)
+    rad = jnp.where(mask, radial_map.reshape(-1)[order], 0.0)
+    res = voting.accumulate_3d_no_depth(clouds, rad, mask, grid_l=grid_l,
+                                        mode=mode)
+    return res.center_mm, res.overflow, count
+
+
 def keypoint_with_retry(cfg, sem_map, radial_map, depth_j, k, max_r,
                         sem_threshold, retry_grid_l=256):
     """keypoint_from_maps + host-side fallback to a larger grid when the
@@ -270,6 +292,16 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
             counter += 1
             progress(f"{class_name} {frame_id}: ADD(s) "
                      f"bf={bf_icp / counter:.4f} af={af_icp / counter:.4f}")
+
+            if cfg.demo_mode:
+                # estimate (red) + GT (blue) overlays, headless PNGs — the
+                # reference's blocking matplotlib/Open3D windows
+                # (AccumulatorSpace.py:670-683, 716-717) as files.
+                from rcvpose_tpu import demo
+                demo.save_demo_frame(
+                    os.path.join(cfg.out_dir, "demo", class_name), frame_id,
+                    image, cad_mm, np.asarray(rt), np.asarray(k),
+                    rt_gt_mm=rt_gt_mm)
 
         results[class_name] = {
             "add_before_icp": bf_icp / max(counter, 1),

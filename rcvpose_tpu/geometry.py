@@ -87,10 +87,61 @@ def pack_valid_indices(flat_valid, n_points):
     n = flat_valid.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     key = jnp.where(flat_valid, idx, jnp.int32(n))
-    _, order = jax.lax.top_k(-key, n_points)  # smallest keys = first valid
+    k = min(n_points, n)  # source may hold fewer pixels than the budget
+    _, order = jax.lax.top_k(-key, k)  # smallest keys = first valid
+    if k < n_points:
+        order = jnp.pad(order, (0, n_points - k))
     count = jnp.sum(flat_valid.astype(jnp.int32))
     mask = jnp.arange(n_points) < jnp.minimum(count, n_points)
     return order, mask
+
+
+def depth_hypothesis_clouds(pixel_mask, k, z_min_m, n_hyp, n_points,
+                            step_m=1e-3):
+    """Depth-hypothesis clouds for the RGB-only ablation.
+
+    TPU re-expression of reference ``rgbd_to_point_cloud_no_depth``
+    (AccumulatorSpace.py:100-120): hypothesize ``n_hyp`` constant-depth
+    planes ``z_i = z_min_m + i * step_m`` (the reference sweeps 1 mm steps
+    from zs.min() to zs.max(); pick ``n_hyp = int(z_max*1000) + 1 -
+    int(z_min*1000)`` for the identical plane set) and back-project every
+    masked pixel at each plane. Static shapes: ``n_hyp`` planes x
+    ``n_points`` packed pixels.
+
+    Args:
+      pixel_mask: (H, W) bool — pixels that vote (the sem mask).
+      k: (3, 3) intrinsics.
+      z_min_m: scalar, first hypothesis depth in meters (may be traced).
+      n_hyp: static number of depth planes.
+      n_points: static packed pixel budget.
+      step_m: plane spacing in meters (reference: 0.001).
+
+    Returns:
+      clouds_m: (n_hyp, n_points, 3) camera-frame points in meters.
+      mask: (n_points,) bool — valid packed pixels (shared by every plane).
+      order: (n_points,) int32 — flat row-major pixel index of each packed
+        point, for aligning per-pixel data (e.g. radii) with the clouds.
+      count: () int32 — number of masked pixels (pre-truncation).
+    """
+    mask2d = jnp.asarray(pixel_mask)
+    h, w = mask2d.shape
+    k = jnp.asarray(k, jnp.float32)
+    us = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    vs = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    xs_unit = (us - k[0, 2]) / k[0, 0]   # x at z = 1
+    ys_unit = (vs - k[1, 2]) / k[1, 1]
+    flat_valid = mask2d.reshape(-1)
+    order, mask = pack_valid_indices(flat_valid, n_points)
+    xu = jnp.where(mask, xs_unit.reshape(-1)[order], 0.0)
+    yu = jnp.where(mask, ys_unit.reshape(-1)[order], 0.0)
+    zs = (jnp.asarray(z_min_m, jnp.float32)
+          + jnp.arange(n_hyp, dtype=jnp.float32) * step_m)   # (D,)
+    clouds = jnp.stack(
+        [xu[None, :] * zs[:, None],
+         yu[None, :] * zs[:, None],
+         jnp.broadcast_to(zs[:, None], (n_hyp, n_points))], axis=-1)
+    count = jnp.sum(flat_valid.astype(jnp.int32))
+    return clouds, mask, order, count
 
 
 def depth_to_pointcloud(depth, k, n_points, fill_value=0.0):

@@ -58,10 +58,10 @@ def _window_origin(any_rows, any_cols, win_h, win_w):
 
 
 @partial(jax.jit, static_argnames=("apply_fn", "n_points", "grid_l", "mode",
-                                   "sem_threshold"))
+                                   "sem_threshold", "full_frame"))
 def frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
                gt_kpts_mm, sem_threshold=0.8, n_points=8192, grid_l=192,
-               mode="hier"):
+               mode="hier", full_frame=False):
     """Full frame: 3-net forward + 3x vote + Horn, one program.
 
     Args:
@@ -95,10 +95,12 @@ def frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
 
     # Crop a fixed window around the union of the three sem masks before
     # packing: the pack's TopK compaction scales with pixel count (3.4 ms
-    # full-frame -> ~1 ms windowed). Truncation is flagged via ``cropped``.
+    # full-frame -> ~1 ms windowed). Truncation is flagged via ``cropped``;
+    # ``full_frame=True`` packs the whole frame (the estimate() fallback for
+    # large/near objects whose mask exceeds the window).
     h, w = depth_mm.shape
-    win_h = min(WIN_H, h)
-    win_w = min(WIN_W, w)
+    win_h = h if full_frame else min(WIN_H, h)
+    win_w = w if full_frame else min(WIN_W, w)
     sems = (sem_maps > sem_threshold) & (radial_maps <= max_radii_dm[:, None,
                                                                     None])
     sems = sems & (depth_mm > 0)
@@ -165,14 +167,26 @@ class PoseEstimator:
 
     def estimate(self, image_u8, depth_mm):
         """image: (H, W, 3) uint8 RGB; depth: (H, W) mm. Returns the frame
-        dict from ``frame_pose`` (device arrays)."""
+        dict from ``frame_pose`` (device arrays).
+
+        If the fixed packing window truncated any mask pixels (``cropped``
+        — a large/near object like driller or lamp), the frame is re-run
+        with full-frame packing so serving never silently drops votes.
+        """
         image_norm = labels.normalize_image(jnp.asarray(image_u8))
-        return frame_pose(
-            self.model.apply, self.stacked, image_norm,
-            jnp.asarray(depth_mm, jnp.float32), self.k, self.max_radii,
-            self.gt_kpts_mm, sem_threshold=self.cfg.sem_threshold,
-            n_points=self.cfg.max_points, grid_l=self.cfg.vote_grid_l,
-            mode=self.cfg.vote_mode)
+
+        def run(full_frame):
+            return frame_pose(
+                self.model.apply, self.stacked, image_norm,
+                jnp.asarray(depth_mm, jnp.float32), self.k, self.max_radii,
+                self.gt_kpts_mm, sem_threshold=self.cfg.sem_threshold,
+                n_points=self.cfg.max_points, grid_l=self.cfg.vote_grid_l,
+                mode=self.cfg.vote_mode, full_frame=full_frame)
+
+        result = run(False)
+        if bool(np.asarray(result["cropped"]).any()):
+            result = run(True)
+        return result
 
     def refine(self, result, threshold_mm, icp_iters=None):
         """Optional ICP refinement of the fitted pose: align the CAD model

@@ -1,0 +1,128 @@
+"""Drive estimate_6d_pose_lm over a real-format synthetic LINEMOD tree.
+
+Exercises the evaluator's actual dataset-layout IO (eval.py: Split/val.txt,
+<class>.ply, Outside9.npy, pose/pose<N>.npy, LINEMOD_ORIG data/depth<N>.dpt,
+estRadialMap/.../Out_pt<k>_dm/<id>.npy) and the per-frame loop end to end
+with using_ckpts=False — the path the reference runs via
+AccumulatorSpace.py:553-740 — plus the demo_mode overlay output.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rcvpose_tpu import geometry
+from rcvpose_tpu.config import Config
+from tests.test_data import write_ascii_ply, write_dpt
+
+
+@pytest.fixture
+def lm_eval_tree(tmp_path, rng):
+    """Two synthetic 'ape' frames in the exact on-disk layout eval.py reads.
+
+    Rendered with the real LINEMOD intrinsics (the evaluator hardcodes them,
+    like the reference) into a small 120x160 frame; the object is placed so
+    it projects into that window.
+    """
+    k = np.asarray(geometry.LINEMOD_K)
+    h, w = 120, 160
+    root = tmp_path
+    pv = root / "LINEMOD" / "ape"
+    orig = root / "LINEMOD_ORIG" / "ape"
+    for d in ["JPEGImages", "pose", "Split"]:
+        os.makedirs(pv / d)
+    os.makedirs(orig / "data")
+    for kp in range(1, 4):
+        os.makedirs(root / "LINEMOD_ORIG" / "estRadialMap" / "ape"
+                    / f"Out_pt{kp}_dm")
+
+    # object: spherical blob (radius ~3 cm), keypoints like dispersed OBB
+    n_model = 3000
+    dirs = rng.normal(size=(n_model, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    model_m = dirs * rng.uniform(0.02, 0.03, size=(n_model, 1))
+    kpts9 = np.zeros((9, 3))
+    kpts9[1] = [0.06, 0.06, 0.06]
+    kpts9[2] = [-0.06, 0.06, -0.06]
+    kpts9[3] = [0.06, -0.06, -0.06]
+    write_ascii_ply(str(pv / "ape.ply"), model_m * 1000.0)  # CAD in mm
+    np.save(pv / "Outside9.npy", kpts9)
+
+    ids = []
+    for i in range(2):
+        # pose: small rotation; translation aims the object at pixel ~(80,60)
+        angle = rng.uniform(-0.3, 0.3)
+        c, s = np.cos(angle), np.sin(angle)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        z = 0.75 + 0.05 * i
+        t = np.array([(80 - k[0, 2]) / k[0, 0] * z,
+                      (60 - k[1, 2]) / k[1, 1] * z, z])
+        pose = np.concatenate([rot, t[:, None]], axis=1)  # (3, 4), t in m
+        np.save(pv / "pose" / f"pose{i}.npy", pose)
+
+        cam = model_m @ rot.T + t
+        uv = cam @ k.T
+        uv = uv[:, :2] / uv[:, 2:]
+        us = np.round(uv[:, 0]).astype(int)
+        vs = np.round(uv[:, 1]).astype(int)
+        ok = (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
+        depth_mm = np.zeros((h, w), np.float32)
+        depth_mm[vs[ok], us[ok]] = cam[ok, 2] * 1000.0
+        depth_u16 = np.round(depth_mm).astype(np.uint16)  # .dpt is uint16
+        write_dpt(str(orig / "data" / f"depth{i}.dpt"), depth_u16)
+
+        img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        frame_id = f"{i:06d}"
+        Image.fromarray(img).save(pv / "JPEGImages" / f"{frame_id}.jpg")
+
+        # perfect radial maps (dm) from the QUANTIZED depth, per keypoint
+        xyz_map, valid = geometry.backproject_dense(
+            depth_u16.astype(np.float32), k)
+        xyz_m = np.asarray(xyz_map) / 1000.0
+        valid = np.asarray(valid)
+        kpts_cam = kpts9[1:4] @ rot.T + t
+        for kp in range(1, 4):
+            r = np.linalg.norm(xyz_m - kpts_cam[kp - 1], axis=-1) * 10.0
+            radial = np.where(valid, r, 0.0).astype(np.float32)
+            np.save(root / "LINEMOD_ORIG" / "estRadialMap" / "ape"
+                    / f"Out_pt{kp}_dm" / f"{frame_id}.npy", radial)
+        ids.append(frame_id)
+
+    with open(pv / "Split" / "val.txt", "w") as f:
+        f.write("\n".join(ids) + "\n")
+    return str(root)
+
+
+def test_estimate_6d_pose_lm_real_format(lm_eval_tree, tmp_path):
+    from rcvpose_tpu import eval as eval_mod
+
+    cfg = Config(root_dataset=lm_eval_tree, using_ckpts=False,
+                 compute_dtype="float32", vote_grid_l=96, max_points=2048,
+                 vote_mode="hier", icp_iters=10, demo_mode=True,
+                 out_dir=str(tmp_path / "logs"))
+    lines = []
+    results = eval_mod.estimate_6d_pose_lm(
+        cfg, class_names=["ape"], progress=lines.append)
+
+    res = results["ape"]
+    assert res["frames"] == 2
+    assert np.isfinite(res["add_before_icp"])
+    assert np.isfinite(res["add_after_icp"])
+    # perfect radial maps on a clean render must land within the ape ADD
+    # threshold (14.2 mm vs ~60 mm object)
+    assert res["add_before_icp"] == 1.0, res
+    assert res["add_after_icp"] == 1.0, res
+    assert res["net_ms_per_frame"] >= 0
+    assert res["acc_ms_per_frame"] > 0
+    # printed running + final summaries (reference :730-740)
+    assert any("ADD(s) of ape" in ln for ln in lines)
+
+    # demo_mode wrote one overlay per frame
+    demo_dir = os.path.join(cfg.out_dir, "demo", "ape")
+    files = sorted(os.listdir(demo_dir))
+    assert files == ["000000_overlay.png", "000001_overlay.png"]
+    overlay = np.asarray(Image.open(os.path.join(demo_dir, files[0])))
+    assert (overlay == [255, 0, 0]).all(axis=-1).any()  # estimate painted
+    assert (overlay == [0, 0, 255]).all(axis=-1).any()  # GT painted

