@@ -32,6 +32,18 @@ from flax import linen as nn
 RESNET152_BLOCKS = (3, 8, 36, 3)
 
 
+def _scaled(c: int, width: float) -> int:
+    """Channel count scaled by a width multiplier, floored at 8 lanes.
+
+    ``width=1.0`` (the default everywhere) is the reference architecture.
+    Fractional widths exist for tests and driver dryruns only: they keep the
+    exact topology (stages, skips, BN placement, sharding structure) while
+    shrinking compute quadratically — essential on single-core CI boxes that
+    emulate 8-device meshes.
+    """
+    return max(8, int(round(c * width)))
+
+
 class Bottleneck(nn.Module):
     """1-3-1 bottleneck, x4 expansion (reference fcnresnet.py:6-45).
 
@@ -112,10 +124,12 @@ class _Encoder(nn.Module):
     """Shared ResNet-152 encoder trunk; returns all skip tensors."""
     dtype: jnp.dtype = jnp.float32
     blocks: Sequence[int] = RESNET152_BLOCKS
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+        w = lambda c: _scaled(c, self.width)  # noqa: E731
+        x = nn.Conv(w(64), (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
@@ -123,7 +137,7 @@ class _Encoder(nn.Module):
         y = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))   # H/4
 
-        stage_channels = (64, 128, 256, 512)
+        stage_channels = tuple(w(c) for c in (64, 128, 256, 512))
         skips = []
         for s, (depth, ch) in enumerate(zip(self.blocks, stage_channels)):
             stride = 1 if s == 0 else 2
@@ -149,35 +163,38 @@ class DenseFCNResNet152(nn.Module):
     output_channels: int = 2
     dtype: jnp.dtype = jnp.float32
     blocks: Sequence[int] = RESNET152_BLOCKS  # shallower for tests
+    width: float = 1.0                        # fractional for tests only
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        w = lambda c: _scaled(c, self.width)  # noqa: E731
         x = x.astype(self.dtype)
         xc, x2s, x4s, x8s, x16s = _Encoder(dtype=self.dtype,
                                            blocks=self.blocks,
+                                           width=self.width,
                                            name="encoder")(x, train)
-        x32s = nn.Conv(1024, (3, 3), padding=1, dtype=self.dtype,
+        x32s = nn.Conv(w(1024), (3, 3), padding=1, dtype=self.dtype,
                        name="conv6")(x16s)
         x32s = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, dtype=self.dtype, name="bn6")(x32s)
         x32s = nn.relu(x32s)
 
-        up = _conv_bn_relu(jnp.concatenate([x32s, x16s], -1), 1024, train,
+        up = _conv_bn_relu(jnp.concatenate([x32s, x16s], -1), w(1024), train,
                            self.dtype, "conv_up5")
         up = jax_resize2x(up)
-        up = _conv_bn_relu(jnp.concatenate([up, x8s], -1), 512, train,
+        up = _conv_bn_relu(jnp.concatenate([up, x8s], -1), w(512), train,
                            self.dtype, "conv_up4")
         up = jax_resize2x(up)
-        up = _conv_bn_relu(jnp.concatenate([up, x4s], -1), 256, train,
+        up = _conv_bn_relu(jnp.concatenate([up, x4s], -1), w(256), train,
                            self.dtype, "conv_up3")
         up = jax_resize2x(up)
-        up = _conv_bn_relu(jnp.concatenate([up, x2s], -1), 128, train,
+        up = _conv_bn_relu(jnp.concatenate([up, x2s], -1), w(128), train,
                            self.dtype, "conv_up2")
         up = jax_resize2x(up)
-        up = _conv_bn_relu(jnp.concatenate([up, xc], -1), 64, train,
+        up = _conv_bn_relu(jnp.concatenate([up, xc], -1), w(64), train,
                            self.dtype, "conv_up1")
         up = jax_resize2x(up)
-        up = _conv_bn_relu(up, 32, train, self.dtype, "conv7")
+        up = _conv_bn_relu(up, w(32), train, self.dtype, "conv7")
         out = nn.Conv(self.output_channels, (1, 1), dtype=self.dtype,
                       name="conv8")(up)
         return _split_heads(out)
@@ -213,33 +230,40 @@ class ResFCNResNet152(nn.Module):
     double_up1: bool = False
     dtype: jnp.dtype = jnp.float32
     blocks: Sequence[int] = RESNET152_BLOCKS
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        w = lambda c: _scaled(c, self.width)  # noqa: E731
         x = x.astype(self.dtype)
         xc, x2s, x4s, x8s, x16s = _Encoder(dtype=self.dtype,
                                            blocks=self.blocks,
+                                           width=self.width,
                                            name="encoder")(x, train)
         up = jax_resize2x(x16s)
-        lift = nn.Conv(2048, (1, 1), dtype=self.dtype, name="conv_up4_1")(x8s)
-        up = _conv_bn_relu(up + lift, 1024, train, self.dtype, "conv_up4")
+        lift = nn.Conv(w(2048), (1, 1), dtype=self.dtype,
+                       name="conv_up4_1")(x8s)
+        up = _conv_bn_relu(up + lift, w(1024), train, self.dtype, "conv_up4")
 
         up = jax_resize2x(up)
-        lift = nn.Conv(1024, (1, 1), dtype=self.dtype, name="conv_up3_1")(x4s)
-        up = _conv_bn_relu(up + lift, 512, train, self.dtype, "conv_up3")
+        lift = nn.Conv(w(1024), (1, 1), dtype=self.dtype,
+                       name="conv_up3_1")(x4s)
+        up = _conv_bn_relu(up + lift, w(512), train, self.dtype, "conv_up3")
 
         up = jax_resize2x(up)
-        lift = nn.Conv(512, (1, 1), dtype=self.dtype, name="conv_up2_1")(x2s)
-        up = _conv_bn_relu(up + lift, 256, train, self.dtype, "conv_up2")
+        lift = nn.Conv(w(512), (1, 1), dtype=self.dtype,
+                       name="conv_up2_1")(x2s)
+        up = _conv_bn_relu(up + lift, w(256), train, self.dtype, "conv_up2")
 
         up = jax_resize2x(up)
-        lift = nn.Conv(256, (1, 1), dtype=self.dtype, name="conv_up1_1")(xc)
-        up = _conv_bn_relu(up + lift, 128, train, self.dtype, "conv_up1")
+        lift = nn.Conv(w(256), (1, 1), dtype=self.dtype,
+                       name="conv_up1_1")(xc)
+        up = _conv_bn_relu(up + lift, w(128), train, self.dtype, "conv_up1")
         up = jax_resize2x(up)
         if self.double_up1:
             up = jax_resize2x(up)
 
-        up = _conv_bn_relu(up, 64, train, self.dtype, "conv7")
+        up = _conv_bn_relu(up, w(64), train, self.dtype, "conv7")
         out = nn.Conv(self.output_channels, (1, 1), dtype=self.dtype,
                       name="conv8")(up)
         return _split_heads(out)

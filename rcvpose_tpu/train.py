@@ -59,19 +59,24 @@ def make_optimizer(cfg, steps_per_epoch):
     return optax.sgd(sched, momentum=cfg.momentum)
 
 
-def build_model(cfg, blocks=None):
+def build_model(cfg, blocks=None, width=None):
+    """cfg.model instance. ``blocks``/``width`` shrink depth/channels for
+    tests and dryruns only (width must be a power-of-two fraction >= 1/8 so
+    the x4 bottleneck expansion scales exactly); production uses defaults."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     kwargs = dict(dtype=dtype)
     if blocks is not None:
         kwargs["blocks"] = tuple(blocks)
+    if width is not None:
+        kwargs["width"] = width
     if cfg.model == "dense":
         return DenseFCNResNet152(**kwargs)
     return ResFCNResNet152(**kwargs)
 
 
 def create_state(cfg, rng, steps_per_epoch=1000, blocks=None,
-                 sample_shape=None):
-    model = build_model(cfg, blocks)
+                 sample_shape=None, width=None):
+    model = build_model(cfg, blocks, width)
     if sample_shape is None:
         sample_shape = (1, cfg.image_height, cfg.image_width, 3)
     variables = model.init(rng, jnp.zeros(sample_shape, jnp.float32), False)
@@ -170,9 +175,12 @@ class Trainer:
     writer: Any = None          # tensorboardX-like, optional
     best_val: float = float("inf")
     iteration: int = 0
+    steps: Any = None           # optional precompiled (train, eval) pjit pair
 
     def __post_init__(self):
-        self._train_step, self._eval_step = make_parallel_steps(self.mesh)
+        self._train_step, self._eval_step = (
+            self.steps if self.steps is not None
+            else make_parallel_steps(self.mesh))
 
     def train_epoch(self, epoch):
         for batch in self.train_batches(epoch):

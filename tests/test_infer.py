@@ -1,6 +1,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from rcvpose_tpu import infer
 from rcvpose_tpu.config import Config
@@ -9,12 +10,21 @@ from tests.test_eval_e2e import render_synthetic_frame
 TINY = (1, 1, 1, 1)
 
 
-def test_stack_variables(rng):
+# Model init compiles cost ~20 s each on the single-core CI box; build the
+# tiny model and its 3 per-keypoint variable sets ONCE for the whole module.
+@pytest.fixture(scope="module")
+def tiny_net():
     from rcvpose_tpu import train as train_mod
-    cfg = Config(compute_dtype="float32")
-    model = train_mod.build_model(cfg, blocks=TINY)
-    vs = [model.init(jax.random.PRNGKey(i), jnp.zeros((1, 32, 32, 3)), False)
+    cfg = Config(compute_dtype="float32", vote_grid_l=64, max_points=512,
+                 image_height=64, image_width=64)
+    model = train_mod.build_model(cfg, blocks=TINY, width=0.125)
+    vs = [model.init(jax.random.PRNGKey(i), jnp.zeros((1, 64, 64, 3)), False)
           for i in range(3)]
+    return cfg, model, vs
+
+
+def test_stack_variables(tiny_net):
+    _, _, vs = tiny_net
     stacked = infer.stack_variables(vs)
     leaf = jax.tree.leaves(stacked["params"])[0]
     single = jax.tree.leaves(vs[0]["params"])[0]
@@ -50,17 +60,12 @@ def test_pose_estimator_synthetic(rng):
     assert t_err < 25.0, t_err
 
 
-def test_cropped_fallback_repacks_full_frame(rng, monkeypatch):
+def test_cropped_fallback_repacks_full_frame(rng, monkeypatch, tiny_net):
     """When the packing window truncates mask pixels, estimate() must re-run
     with full-frame packing so serving never silently drops vote points."""
     monkeypatch.setattr(infer, "WIN_H", 16)
     monkeypatch.setattr(infer, "WIN_W", 16)
-    cfg = Config(compute_dtype="float32", vote_grid_l=64, max_points=512,
-                 image_height=64, image_width=64)
-    from rcvpose_tpu import train as train_mod
-    model = train_mod.build_model(cfg, blocks=TINY)
-    vs = [model.init(jax.random.PRNGKey(i), jnp.zeros((1, 64, 64, 3)), False)
-          for i in range(3)]
+    cfg, model, vs = tiny_net
     est = infer.PoseEstimator(
         cfg, vs, keypoints=rng.normal(size=(9, 3)) * 0.05,
         max_radii_dm=[3.0, 3.0, 3.0])
@@ -87,13 +92,8 @@ def test_cropped_fallback_repacks_full_frame(rng, monkeypatch):
         assert out["rt"].shape == (4, 4)
 
 
-def test_frame_pose_compiles_with_tiny_net(rng):
-    cfg = Config(compute_dtype="float32", vote_grid_l=64, max_points=512,
-                 image_height=64, image_width=64)
-    from rcvpose_tpu import train as train_mod
-    model = train_mod.build_model(cfg, blocks=TINY)
-    vs = [model.init(jax.random.PRNGKey(i), jnp.zeros((1, 64, 64, 3)), False)
-          for i in range(3)]
+def test_frame_pose_compiles_with_tiny_net(rng, tiny_net):
+    cfg, model, vs = tiny_net
     est = infer.PoseEstimator(
         cfg, vs, keypoints=rng.normal(size=(9, 3)) * 0.05,
         max_radii_dm=[3.0, 3.0, 3.0],

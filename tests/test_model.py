@@ -16,7 +16,7 @@ def small_input():
 
 
 def test_dense_fcn_shapes_small(small_input):
-    model = DenseFCNResNet152(blocks=TINY)
+    model = DenseFCNResNet152(blocks=TINY, width=0.125)
     variables = model.init(jax.random.PRNGKey(0), small_input, False)
     seg, radial = model.apply(variables, small_input, False)
     assert seg.shape == (1, 64, 64, 1)
@@ -37,14 +37,14 @@ def test_dense_fcn_full_param_count(small_input):
 
 def test_dense_fcn_rect_input():
     x = jnp.zeros((1, 96, 64, 3), jnp.float32)
-    model = DenseFCNResNet152(blocks=TINY)
+    model = DenseFCNResNet152(blocks=TINY, width=0.125)
     variables = model.init(jax.random.PRNGKey(0), x, False)
     seg, radial = model.apply(variables, x, False)
     assert seg.shape == (1, 96, 64, 1)
 
 
 def test_res_fcn_shapes(small_input):
-    model = ResFCNResNet152(blocks=TINY)
+    model = ResFCNResNet152(blocks=TINY, width=0.125)
     variables = model.init(jax.random.PRNGKey(0), small_input, False)
     seg, radial = model.apply(variables, small_input, False)
     assert seg.shape == (1, 64, 64, 1)
@@ -52,14 +52,14 @@ def test_res_fcn_shapes(small_input):
 
 
 def test_res_fcn_double_up1(small_input):
-    model = ResFCNResNet152(blocks=TINY, double_up1=True)
+    model = ResFCNResNet152(blocks=TINY, double_up1=True, width=0.125)
     variables = model.init(jax.random.PRNGKey(0), small_input, False)
     seg, _ = model.apply(variables, small_input, False)
     assert seg.shape == (1, 128, 128, 1)  # reference bug reproduced on demand
 
 
 def test_train_mode_updates_batch_stats(small_input):
-    model = DenseFCNResNet152(blocks=TINY)
+    model = DenseFCNResNet152(blocks=TINY, width=0.125)
     variables = model.init(jax.random.PRNGKey(0), small_input, False)
     x = jax.random.normal(jax.random.PRNGKey(1), small_input.shape)
     (_, _), mutated = model.apply(variables, x, True,
@@ -78,3 +78,12 @@ def test_up2x_matches_jax_image_resize(rng):
     ref = jax.image.resize(x, (2, 14, 18, 5), method="bilinear")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+def test_width_scaling_consistent():
+    # power-of-two widths keep the x4 bottleneck expansion exact: the
+    # additive-skip decoder's channel-lift convs must line up at any width
+    from rcvpose_tpu.models.fcnresnet import _scaled
+
+    for width in (1.0, 0.5, 0.25, 0.125):
+        for c in (64, 128, 256, 512):
+            assert _scaled(4 * c, width) == 4 * _scaled(c, width), (width, c)

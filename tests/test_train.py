@@ -29,6 +29,27 @@ def synth_batch(rng, b=8, h=32, w=32):
             "sem": jnp.asarray(sem)}
 
 
+# The expensive artifacts (model init compile, pjit train/eval step compiles)
+# are identical across the mesh tests, so build them ONCE per module: on the
+# single-core CI box each model-init compile costs ~20 s and each train-step
+# compile ~40 s. Tests receive a fresh *copy* of the state (the pjit train
+# step donates its input state buffers).
+@pytest.fixture(scope="module")
+def mesh_env():
+    cfg = tiny_cfg()
+    # 2-device mesh: same pjit DP code path as 8 (psum over 'data'), 4x less
+    # single-core emulation cost; the 8-device proof is the driver dryrun.
+    mesh = parallel.data_mesh(2)
+    state = train.create_state(cfg, jax.random.PRNGKey(0), blocks=TINY,
+                               sample_shape=(1, 32, 32, 3), width=0.125)
+    p_train, p_eval = train.make_parallel_steps(mesh)
+    return cfg, mesh, state, p_train, p_eval
+
+
+def copy_state(state):
+    return jax.tree.map(lambda x: jnp.array(x), state)
+
+
 def test_losses_match_reference_semantics(rng):
     b, h, w = 2, 4, 4
     seg = jnp.asarray(rng.normal(size=(b, h, w, 1)).astype(np.float32))
@@ -57,15 +78,10 @@ def test_lr_schedule():
     assert sched(140 * 10) == pytest.approx(1e-6)
 
 
-def test_train_step_reduces_loss_on_mesh(rng):
-    cfg = tiny_cfg()
-    # 2-device mesh: same pjit DP code path as 8 (psum over 'data'), 4x less
-    # single-core emulation cost; the 8-device proof is the driver dryrun.
-    mesh = parallel.data_mesh(2)
+def test_train_step_reduces_loss_on_mesh(rng, mesh_env):
+    cfg, mesh, state0, p_train, p_eval = mesh_env
     assert jax.device_count() == 8, "conftest should give 8 CPU devices"
-    state = train.create_state(cfg, jax.random.PRNGKey(0), blocks=TINY,
-                               sample_shape=(1, 32, 32, 3))
-    p_train, p_eval = train.make_parallel_steps(mesh)
+    state = copy_state(state0)
     batch = parallel.shard_batch(mesh, synth_batch(rng))
 
     first = None
@@ -82,13 +98,12 @@ def test_train_step_reduces_loss_on_mesh(rng):
     assert np.isfinite(float(em["mae"]))
 
 
-def test_trainer_loop_runs_and_checkpoints(rng, tmp_path):
+def test_trainer_loop_runs_and_checkpoints(rng, tmp_path, mesh_env):
     from rcvpose_tpu.checkpoint import Checkpointer
 
-    cfg = dataclasses.replace(tiny_cfg(), max_iterations=3)
-    mesh = parallel.data_mesh(2)
-    state = train.create_state(cfg, jax.random.PRNGKey(0), blocks=TINY,
-                               sample_shape=(1, 32, 32, 3))
+    cfg0, mesh, state0, p_train, p_eval = mesh_env
+    cfg = dataclasses.replace(cfg0, max_iterations=3)
+    state = copy_state(state0)
     batch = synth_batch(rng)
 
     class Writer:
@@ -104,15 +119,15 @@ def test_trainer_loop_runs_and_checkpoints(rng, tmp_path):
         cfg=cfg, state=state, mesh=mesh,
         train_batches=lambda epoch: [batch, batch],
         val_batches=lambda: [batch],
-        checkpointer=ckpt, writer=writer)
+        checkpointer=ckpt, writer=writer, steps=(p_train, p_eval))
     final_state = trainer.fit(max_epochs=5)
     assert trainer.iteration == 3  # capped by max_iterations mid-epoch
     assert any(t == "Train_sum" for t, _, _ in writer.scalars)
     assert any(t == "Val_ACC" for t, _, _ in writer.scalars)
 
-    # restore round-trip
-    fresh = train.create_state(cfg, jax.random.PRNGKey(1), blocks=TINY,
-                               sample_shape=(1, 32, 32, 3))
+    # restore round-trip: the module-scope state is a valid restore target
+    # (same structure); values must come back equal to the trained state
+    fresh = copy_state(state0)
     restored, epoch, it, best = ckpt.restore(fresh)
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(restored.params)[0]),
