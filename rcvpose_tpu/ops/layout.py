@@ -22,16 +22,11 @@ def _copy_kernel(x_ref, o_ref):
     o_ref[:, :] = x_ref[:, :]
 
 
-def force_standard_layout(x):
-    """Identity with a guaranteed default layout on TPU; no-op elsewhere."""
-    if jax.default_backend() != "tpu":
-        return x
-    shape = x.shape
-    x2 = x.reshape(-1, shape[-1])
+def _pinned_copy(x2):
     m, w = x2.shape
     tile = min(_ROW_TILE, m)
     grid = (pl.cdiv(m, tile),)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _copy_kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((tile, w), lambda i: (i, 0),
@@ -40,4 +35,33 @@ def force_standard_layout(x):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, w), x2.dtype),
     )(x2)
-    return out.reshape(shape)
+
+
+# pallas_call has no autodiff rule, so the identity copy needs an explicit
+# VJP for the training path (the loss differentiates through _split_heads).
+# The cotangent is itself pinned: the backward megapixel fusions face the
+# same hostile-layout hazard as the forward ones.
+@jax.custom_vjp
+def _pinned_identity(x2):
+    return _pinned_copy(x2)
+
+
+def _pinned_identity_fwd(x2):
+    return _pinned_copy(x2), None
+
+
+def _pinned_identity_bwd(_, g):
+    return (_pinned_copy(g),)
+
+
+_pinned_identity.defvjp(_pinned_identity_fwd, _pinned_identity_bwd)
+
+
+def force_standard_layout(x):
+    """Identity with a guaranteed default layout on TPU; no-op elsewhere.
+    Differentiable (identity VJP, also layout-pinned)."""
+    if jax.default_backend() != "tpu":
+        return x
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    return _pinned_identity(x2).reshape(shape)
