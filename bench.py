@@ -7,6 +7,12 @@ compute of the reference eval pipeline (AccumulatorSpace.py:564-662), which
 the reference instrumented but never reported (net_time/acc_time,
 SURVEY.md §6).
 
+All numbers are DEVICE-TRUE: every measurement chains its op inside one
+compiled fori_loop with a real carry dependence. Per-dispatch timing is
+meaningless on this runtime — the host<->device tunnel costs ~3 ms per
+dispatch and XLA hoists loop-invariant bodies, so naive loops measure
+either latency or nothing.
+
 Baseline: the BASELINE.json north star of 30 RGB-D frames/sec/chip.
 """
 
@@ -20,12 +26,38 @@ import numpy as np
 BASELINE_FPS = 30.0  # north-star target (BASELINE.md)
 
 
+def chain_time(fn, args, x0, reps=32, runs=3):
+    """Seconds per fn application: reps chained applications in one jit.
+
+    ``fn(*args, x) -> float32 scalar``; each iteration perturbs x by
+    scalar*1e-12 so the body cannot be hoisted. Large operands (weights)
+    must ride in ``args`` — closure-captured constants are inlined into the
+    HLO and can exceed the remote-compile request limit."""
+    @jax.jit
+    def run(*a):
+        x = a[-1]
+
+        def body(i, carry):
+            x, acc = carry
+            m = fn(*a[:-1], x)
+            return (x + (m * 1e-12).astype(x.dtype), acc + m)
+        _, acc = jax.lax.fori_loop(0, reps, body, (x, jnp.float32(0)))
+        return acc
+    float(run(*args, x0))  # compile + warm
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        float(run(*args, x0))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
 def build_frame_fn(cfg):
     """The flagship serving path: infer.frame_pose — 3 per-keypoint nets run
-    sequentially (measured 3x faster than a vmapped stacked-params forward
-    on v5e; see infer.py) + 3x hier voting + Horn fit, all one compiled
-    program (BASELINE.json config #2: LINEMOD 'ape' full 3-keypoint
-    pipeline)."""
+    sequentially (measured faster than a vmapped stacked-params forward on
+    v5e for batch-1; see infer.py) + 3x hier voting + Horn fit, all one
+    compiled program (BASELINE.json config #2: LINEMOD 'ape' full
+    3-keypoint pipeline)."""
     from rcvpose_tpu import infer
     from rcvpose_tpu import train as train_mod
     from rcvpose_tpu import geometry
@@ -52,9 +84,8 @@ def build_frame_fn(cfg):
 
     @jax.jit
     def run_frames(stacked, image_norm, depth, max_radii, gt_kpts_mm):
-        """reps chained frames in one program: measures steady-state
-        per-frame device time the way a pipelined serving loop sees it
-        (per-dispatch host/tunnel latency amortized away)."""
+        """reps chained frames in one program: steady-state per-frame device
+        time as a pipelined serving loop sees it."""
         def body(i, carry):
             img, acc = carry
             rt, centers = frame(stacked, img, depth, max_radii, gt_kpts_mm)
@@ -64,24 +95,27 @@ def build_frame_fn(cfg):
             0, reps, body, (image_norm, jnp.zeros((4, 4), jnp.float32)))
         return acc
 
-    return jax.jit(frame), run_frames, reps, stacked
+    def batch_frames(stacked, images_norm, depths, max_radii, gt_kpts_mm,
+                     breps):
+        @jax.jit
+        def run(stacked, images_norm, depths, max_radii, gt_kpts_mm):
+            def body(i, carry):
+                imgs, acc = carry
+                out = infer.frame_pose_batch(
+                    model.apply, stacked, imgs, depths, k, max_radii,
+                    gt_kpts_mm, sem_threshold=0.8, n_points=cfg.max_points,
+                    grid_l=cfg.vote_grid_l, mode=cfg.vote_mode)
+                rt = out["rt"]
+                return (imgs + rt[0, 0, 0] * 1e-20, acc + rt.sum())
+            _, acc = jax.lax.fori_loop(
+                0, breps, body, (images_norm, jnp.float32(0)))
+            return acc
+        return run
 
-
-def _time_loop(fn, iters):
-    """Average seconds per call, forcing completion via a host fetch of the
-    final result (block_until_ready alone is unreliable under the axon
-    tunnel)."""
-    out = fn()
-    np.asarray(jax.tree.leaves(out)[0])  # warm + sync
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    np.asarray(jax.tree.leaves(out)[0])
-    return (time.perf_counter() - t0) / iters
+    return frame, run_frames, reps, stacked, batch_frames, model, k
 
 
 def main():
-    import os
     import sys
 
     from rcvpose_tpu.config import Config
@@ -95,7 +129,8 @@ def main():
                  max_points=8192 if backend != "cpu" else 1024,
                  vote_mode="hier")
 
-    frame_fn, run_frames, reps, variables = build_frame_fn(cfg)
+    (frame_fn, run_frames, reps, variables, batch_frames, model, k) = \
+        build_frame_fn(cfg)
 
     rng = np.random.default_rng(0)
     h, w = (480, 640) if backend != "cpu" else (96, 128)
@@ -109,33 +144,51 @@ def main():
 
     # warm/compile, then time the chained frame loop
     np.asarray(run_frames(variables, image, depth, max_radii, gt_kpts))
-    t0 = time.perf_counter()
-    np.asarray(run_frames(variables, image, depth, max_radii, gt_kpts))
-    dt = (time.perf_counter() - t0) / reps
-    iters = 10 if backend != "cpu" else 2
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run_frames(variables, image, depth, max_radii, gt_kpts))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    dt = best
     fps = 1.0 / dt
 
-    # Per-stage timings + accumulator throughput (BASELINE.md requires
-    # Mvotes/s to be *reported*, not hidden behind an env var).
+    # batched serving throughput (frame_pose_batch, B frames per iteration)
+    bsz = 4 if backend != "cpu" else 2
+    breps = 5
+    imgs_b = jnp.broadcast_to(image, (bsz, h, w, 3))
+    deps_b = jnp.broadcast_to(depth, (bsz, h, w))
+    runb = batch_frames(variables, imgs_b, deps_b, max_radii, gt_kpts, breps)
+    float(runb(variables, imgs_b, deps_b, max_radii, gt_kpts))
+    bbest = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(runb(variables, imgs_b, deps_b, max_radii, gt_kpts))
+        bbest = min(bbest, (time.perf_counter() - t0) / (breps * bsz))
+    fps_batched = 1.0 / bbest
+
+    # per-stage device-true timings + accumulator throughput (BASELINE.md
+    # requires Mvotes/s to be *reported*)
     from rcvpose_tpu import eval as eval_mod
-    from rcvpose_tpu import train as train_mod
-    from rcvpose_tpu import geometry
 
-    model = train_mod.build_model(cfg)
-    net = jax.jit(lambda v, x: model.apply(v, x, False))
     one_vars = variables[0]
-    dt_net = _time_loop(lambda: net(one_vars, image[None]), iters)
-    seg, radial = net(one_vars, image[None])
+    dt_net = chain_time(
+        lambda v, im: model.apply(v, im, False)[1].astype(jnp.float32).mean(),
+        (one_vars,), image[None], reps=16)
+    seg, radial = jax.jit(lambda v, x: model.apply(v, x, False))(
+        one_vars, image[None])
     sem_map = seg[0, :, :, 0]
-    radial_map = radial[0, :, :, 0]
-    k = jnp.asarray(geometry.LINEMOD_K, jnp.float32)
+    radial_map = jnp.asarray(radial[0, :, :, 0], jnp.float32)
 
-    def one_vote(mode=cfg.vote_mode):
-        return eval_mod.keypoint_from_maps(
-            sem_map, radial_map, depth, k, jnp.float32(2.0),
-            jnp.float32(0.8), n_points=cfg.max_points,
-            grid_l=cfg.vote_grid_l, mode=mode)[0]
-    dt_vote = _time_loop(one_vote, iters)
+    def vote_scalar(mode):
+        def fn(sem, dep, rad):
+            c = eval_mod.keypoint_from_maps(
+                sem, rad, dep, k, jnp.float32(2.0), jnp.float32(0.8),
+                n_points=cfg.max_points, grid_l=cfg.vote_grid_l,
+                mode=mode)[0]
+            return c.astype(jnp.float32).mean()
+        return fn
+    dt_vote = chain_time(vote_scalar(cfg.vote_mode), (sem_map, depth),
+                         radial_map, reps=16)
     # Pair-evaluations the hier mode actually performs per keypoint...
     hier_evals = cfg.max_points * ((cfg.vote_grid_l // 4) ** 3 + 4 * 16 ** 3)
     mvotes = hier_evals / dt_vote / 1e6
@@ -148,19 +201,19 @@ def main():
     # single-core CPU fallback this is ~17G pair-evals, so TPU only.
     dt_exact = None
     if backend != "cpu":
-        dt_exact = _time_loop(lambda: one_vote("exact"), max(2, iters // 2))
+        dt_exact = chain_time(vote_scalar("exact"), (sem_map, depth),
+                              radial_map, reps=4)
         mvotes_exact = ref_evals / dt_exact / 1e6
 
-    fit_iters = iters * 10
     from rcvpose_tpu import fit as fit_mod
-    gt_dev = jnp.asarray(gt_kpts)
-    est_dev = gt_dev + 1.0
-    horn = jax.jit(fit_mod.horn_fit)
-    dt_fit = _time_loop(lambda: horn(gt_dev, est_dev), fit_iters)
+    dt_fit = chain_time(
+        lambda gt, est: fit_mod.horn_fit(gt, est).astype(jnp.float32).mean(),
+        (gt_kpts,), gt_kpts + 1.0, reps=64)
 
-    print(f"stages: net={dt_net*1e3:.2f} ms  vote(1kpt,{cfg.vote_mode})="
-          f"{dt_vote*1e3:.2f} ms  fit={dt_fit*1e3:.3f} ms  "
-          f"frame={dt*1e3:.2f} ms", file=sys.stderr)
+    print(f"stages (device-true): net={dt_net*1e3:.2f} ms  "
+          f"vote(1kpt,{cfg.vote_mode})={dt_vote*1e3:.2f} ms  "
+          f"fit={dt_fit*1e3:.3f} ms  frame={dt*1e3:.2f} ms  "
+          f"batched(B={bsz})={bbest*1e3:.2f} ms/frame", file=sys.stderr)
     print(f"accumulator: {mvotes:.0f} M pair-evals/s (hier), "
           f"{mvotes_ref_equiv:.0f} M reference-equivalent votes/s"
           + (f"; exact mode {dt_exact*1e3:.1f} ms/kpt "
@@ -172,6 +225,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "batched_frames_per_sec": round(fps_batched, 3),
+        "batch_size": bsz,
         "net_ms": round(dt_net * 1e3, 3),
         "vote_ms_per_kpt": round(dt_vote * 1e3, 3),
         "fit_ms": round(dt_fit * 1e3, 4),

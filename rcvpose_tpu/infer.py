@@ -57,11 +57,9 @@ def _window_origin(any_rows, any_cols, win_h, win_w):
     return ro, co
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "n_points", "grid_l", "mode",
-                                   "sem_threshold", "full_frame"))
-def frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
-               gt_kpts_mm, sem_threshold=0.8, n_points=8192, grid_l=192,
-               mode="hier", full_frame=False):
+def _frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
+                gt_kpts_mm, sem_threshold=0.8, n_points=8192, grid_l=192,
+                mode="hier", full_frame=False):
     """Full frame: 3-net forward + 3x vote + Horn, one program.
 
     Args:
@@ -142,6 +140,34 @@ def frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
             "cropped": cropped}
 
 
+_STATIC = ("apply_fn", "n_points", "grid_l", "mode", "sem_threshold",
+           "full_frame")
+
+frame_pose = partial(jax.jit, static_argnames=_STATIC)(_frame_pose)
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
+                     max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
+                     n_points=8192, grid_l=192, mode="hier",
+                     full_frame=False):
+    """Batched ``frame_pose``: (B, H, W, 3) images + (B, H, W) depths.
+
+    vmapping the whole frame program batches the three per-keypoint conv
+    forwards (B images per conv instead of 1). Measured on v5e at B=4 this
+    is *slower* per frame than the chained single-frame path (23.0 vs
+    16.8 ms — vmapped windowed packing turns dynamic slices into gathers,
+    and batch-1 full-res convs already utilize the MXU well), so it exists
+    for API completeness / bursty-arrival serving, not as the fast path;
+    ``bench.py`` reports both."""
+    def one(img, dep):
+        return _frame_pose(
+            apply_fn, stacked_vars, img, dep, k, max_radii_dm, gt_kpts_mm,
+            sem_threshold=sem_threshold, n_points=n_points, grid_l=grid_l,
+            mode=mode, full_frame=full_frame)
+    return jax.vmap(one)(images_norm, depths_mm)
+
+
 class PoseEstimator:
     """Compile-once, per-frame 6DoF pose estimation for one object class."""
 
@@ -180,6 +206,28 @@ class PoseEstimator:
                 self.model.apply, self.stacked, image_norm,
                 jnp.asarray(depth_mm, jnp.float32), self.k, self.max_radii,
                 self.gt_kpts_mm, sem_threshold=self.cfg.sem_threshold,
+                n_points=self.cfg.max_points, grid_l=self.cfg.vote_grid_l,
+                mode=self.cfg.vote_mode, full_frame=full_frame)
+
+        result = run(False)
+        if bool(np.asarray(result["cropped"]).any()):
+            result = run(True)
+        return result
+
+    def estimate_batch(self, images_u8, depths_mm):
+        """Batched estimate: (B, H, W, 3) uint8 images + (B, H, W) mm depths
+        -> batched frame dict (leading axis B on every entry). See
+        ``frame_pose_batch`` for when this is (and is not) the fast path.
+        Falls back to full-frame packing for the whole batch if any frame's
+        window truncated mask pixels."""
+        imgs = jax.vmap(labels.normalize_image)(jnp.asarray(images_u8))
+        deps = jnp.asarray(depths_mm, jnp.float32)
+
+        def run(full_frame):
+            return frame_pose_batch(
+                self.model.apply, self.stacked, imgs, deps, self.k,
+                self.max_radii, self.gt_kpts_mm,
+                sem_threshold=self.cfg.sem_threshold,
                 n_points=self.cfg.max_points, grid_l=self.cfg.vote_grid_l,
                 mode=self.cfg.vote_mode, full_frame=full_frame)
 

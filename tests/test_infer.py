@@ -92,6 +92,30 @@ def test_cropped_fallback_repacks_full_frame(rng, monkeypatch, tiny_net):
         assert out["rt"].shape == (4, 4)
 
 
+def test_estimate_batch_matches_single(rng, tiny_net):
+    """The batched serving path must agree with per-frame estimate()."""
+    cfg, model, vs = tiny_net
+    est = infer.PoseEstimator(
+        cfg, vs, keypoints=rng.normal(size=(9, 3)) * 0.05,
+        max_radii_dm=[3.0, 3.0, 3.0])
+    est.model = model
+    imgs, deps = [], []
+    for i in range(2):
+        img = (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+        depth = np.zeros((64, 64), np.float32)
+        depth[16 + 4 * i:44, 20:48] = 650.0 + 40.0 * i
+        imgs.append(img)
+        deps.append(depth)
+    batch = est.estimate_batch(np.stack(imgs), np.stack(deps))
+    assert batch["rt"].shape == (2, 4, 4)
+    assert batch["centers"].shape == (2, 3, 3)
+    for i in range(2):
+        single = est.estimate(imgs[i], deps[i])
+        np.testing.assert_allclose(np.asarray(batch["centers"][i]),
+                                   np.asarray(single["centers"]),
+                                   rtol=1e-4, atol=1e-2)
+
+
 def test_frame_pose_compiles_with_tiny_net(rng, tiny_net):
     cfg, model, vs = tiny_net
     est = infer.PoseEstimator(
