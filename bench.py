@@ -166,6 +166,47 @@ def main():
         bbest = min(bbest, (time.perf_counter() - t0) / (breps * bsz))
     fps_batched = 1.0 / bbest
 
+    # fused multi-head serving (kpt_heads=3): ONE net forward serves all
+    # three keypoints — the TPU-first extension beyond the reference's
+    # per-keypoint networks
+    import dataclasses
+
+    from rcvpose_tpu import infer
+    from rcvpose_tpu import train as train_mod
+
+    fcfg = dataclasses.replace(cfg, kpt_heads=3)
+    fmodel = train_mod.build_model(fcfg)
+    dtype = jnp.bfloat16 if fcfg.compute_dtype == "bfloat16" else jnp.float32
+    fvars = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+        fmodel.init(jax.random.PRNGKey(7),
+                    jnp.zeros((1, 64, 64, 3), jnp.float32), False))
+    from rcvpose_tpu import geometry
+    kmat = jnp.asarray(geometry.LINEMOD_K, jnp.float32)
+    freps = reps
+
+    @jax.jit
+    def run_fused(fvars, img):
+        def body(i, carry):
+            img, acc = carry
+            out = infer.frame_pose_fused(
+                fmodel.apply, fvars, img, depth, kmat, max_radii, gt_kpts,
+                sem_threshold=0.8, n_points=cfg.max_points,
+                grid_l=cfg.vote_grid_l, mode=cfg.vote_mode)
+            rt = out["rt"]
+            return (img + rt[0, 0] * 1e-20, acc + rt)
+        _, acc = jax.lax.fori_loop(
+            0, freps, body, (img, jnp.zeros((4, 4), jnp.float32)))
+        return acc
+
+    np.asarray(run_fused(fvars, image))
+    fbest = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run_fused(fvars, image))
+        fbest = min(fbest, (time.perf_counter() - t0) / freps)
+    fps_fused = 1.0 / fbest
+
     # per-stage device-true timings + accumulator throughput (BASELINE.md
     # requires Mvotes/s to be *reported*)
     from rcvpose_tpu import eval as eval_mod
@@ -213,7 +254,8 @@ def main():
     print(f"stages (device-true): net={dt_net*1e3:.2f} ms  "
           f"vote(1kpt,{cfg.vote_mode})={dt_vote*1e3:.2f} ms  "
           f"fit={dt_fit*1e3:.3f} ms  frame={dt*1e3:.2f} ms  "
-          f"batched(B={bsz})={bbest*1e3:.2f} ms/frame", file=sys.stderr)
+          f"batched(B={bsz})={bbest*1e3:.2f} ms/frame  "
+          f"fused(K=3)={fbest*1e3:.2f} ms/frame", file=sys.stderr)
     print(f"accumulator: {mvotes:.0f} M pair-evals/s (hier), "
           f"{mvotes_ref_equiv:.0f} M reference-equivalent votes/s"
           + (f"; exact mode {dt_exact*1e3:.1f} ms/kpt "
@@ -227,6 +269,8 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "batched_frames_per_sec": round(fps_batched, 3),
         "batch_size": bsz,
+        "fused_multihead_frames_per_sec": round(fps_fused, 3),
+        "fused_frame_ms": round(fbest * 1e3, 3),
         "net_ms": round(dt_net * 1e3, 3),
         "vote_ms_per_kpt": round(dt_vote * 1e3, 3),
         "fit_ms": round(dt_fit * 1e3, 4),

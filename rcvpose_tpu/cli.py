@@ -36,6 +36,9 @@ def build_parser():
     parser.add_argument("--resume_train", action="store_true")
     parser.add_argument("--model_dir", default=defaults.model_dir)
     parser.add_argument("--out_dir", default=defaults.out_dir)
+    parser.add_argument("--kpt_heads", type=int, default=defaults.kpt_heads,
+                        help="1 = reference per-keypoint nets; 3 = one "
+                             "fused multi-head net (TPU-first extension)")
     parser.add_argument("--model", default=defaults.model,
                         choices=["dense", "res"])
     parser.add_argument("--compute_dtype", default=defaults.compute_dtype,

@@ -36,6 +36,10 @@ class Config:
     val_interval_epochs: int = 1      # validate every epoch (reference)
     # --- model ---
     model: str = "dense"              # dense | res
+    kpt_heads: int = 1                # 1 = reference 3-net mode; 3 = one
+    #   shared net with 2*K output channels (sem+radial per keypoint) —
+    #   a TPU-first extension: one forward serves all keypoints (~3x less
+    #   net compute per frame than the reference's per-keypoint networks)
     compute_dtype: str = "bfloat16"   # bfloat16 | float32
     image_height: int = 480
     image_width: int = 640

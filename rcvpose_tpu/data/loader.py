@@ -37,7 +37,11 @@ class BatchLoader:
     """Iterable of device-ready batches {image, radial, sem}."""
 
     def __init__(self, dataset, k, batch_size, shuffle=True, seed=0,
-                 prefetch=2, drop_last=True, ycb_clip=False):
+                 prefetch=2, drop_last=True, ycb_clip=False, kpt_heads=1):
+        """``kpt_heads > 1`` emits multi-head labels (B, H, W, K) — one
+        radial/sem pair per keypoint (rows 1..K of the dataset's keypoint
+        array, the same rows the reference eval consumes) — for training
+        the fused multi-head model (config ``kpt_heads``)."""
         self.ds = dataset
         self.k = np.asarray(k, np.float32)
         self.batch_size = batch_size
@@ -46,21 +50,38 @@ class BatchLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.ycb_clip = ycb_clip
+        self.kpt_heads = kpt_heads
 
         has_geometry = hasattr(dataset, "kpt")
-        kpt = (jnp.asarray(self.ds.kpt, jnp.float32) if has_geometry
-               else jnp.zeros(3, jnp.float32))
+        multi = kpt_heads > 1
+        if multi:
+            if not hasattr(dataset, "keypoints"):
+                raise ValueError("kpt_heads > 1 needs a dataset with a "
+                                 "keypoints array (on-the-fly label path)")
+            kpt = jnp.asarray(dataset.keypoints[1:1 + kpt_heads],
+                              jnp.float32)               # (K, 3)
+            maxr = jnp.asarray(
+                dataset.max_radii_for(range(1, 1 + kpt_heads)), jnp.float32)
+        else:
+            kpt = (jnp.asarray(self.ds.kpt, jnp.float32) if has_geometry
+                   else jnp.zeros(3, jnp.float32))
+            maxr = (jnp.float32(self.ds.max_radii_dm) if has_geometry
+                    else jnp.float32(0.0))
         kmat = jnp.asarray(self.k)
-        maxr = (jnp.float32(self.ds.max_radii_dm) if has_geometry
-                else jnp.float32(0.0))
         clip = ycb_clip
 
         @jax.jit
         def transform_batch(image, depth, mask, pose):
             def one(img, dep, msk, pse):
                 im = labels.normalize_image(img)
-                radial, sem = labels.radial_labels(
-                    dep, msk, pse, kpt, kmat, maxr, ycb_clip=clip)
+                if multi:
+                    radial, sem = jax.vmap(
+                        lambda kp, mr: labels.radial_labels(
+                            dep, msk, pse, kp, kmat, mr, ycb_clip=clip),
+                        out_axes=-1)(kpt, maxr)          # (H, W, K)
+                else:
+                    radial, sem = labels.radial_labels(
+                        dep, msk, pse, kpt, kmat, maxr, ycb_clip=clip)
                 return im, radial, sem
             im, radial, sem = jax.vmap(one)(image, depth, mask, pose)
             # even-crop (reference data_loader.py:97-101)
@@ -140,9 +161,11 @@ def make_loaders(cfg, dataset_cls=None):
                          kpt_num=cfg.kpt_num, split="val")
     k = geometry.LINEMOD_K
     ycb = cfg.dataset != "lm"
+    heads = getattr(cfg, "kpt_heads", 1)
     train = BatchLoader(train_ds, k, cfg.batch_size, shuffle=True,
                         seed=cfg.seed, prefetch=cfg.num_prefetch,
-                        ycb_clip=ycb)
+                        ycb_clip=ycb, kpt_heads=heads)
     val = BatchLoader(val_ds, k, cfg.batch_size, shuffle=False,
-                      seed=cfg.seed, prefetch=cfg.num_prefetch, ycb_clip=ycb)
+                      seed=cfg.seed, prefetch=cfg.num_prefetch, ycb_clip=ycb,
+                      kpt_heads=heads)
     return train, val

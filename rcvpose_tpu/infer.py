@@ -90,7 +90,32 @@ def _frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
     maps = [one_net(v) for v in var_list]
     sem_maps = jnp.stack([m[0] for m in maps])     # (3, H, W)
     radial_maps = jnp.stack([m[1] for m in maps])  # (3, H, W)
+    return _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
+                           gt_kpts_mm, sem_threshold, n_points, grid_l,
+                           mode, full_frame)
 
+
+def _frame_pose_fused(apply_fn, variables, image_norm, depth_mm, k,
+                      max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
+                      n_points=8192, grid_l=192, mode="hier",
+                      full_frame=False):
+    """Fused multi-head frame: ONE net forward (kpt_heads output pairs)
+    replaces the reference's three per-keypoint networks — the TPU-first
+    serving extension (config ``kpt_heads=3``). Voting/fit identical to
+    ``frame_pose``."""
+    seg, radial = apply_fn(variables, image_norm[None], False)
+    sem_maps = jnp.moveaxis(seg[0], -1, 0)        # (K, H, W)
+    radial_maps = jnp.moveaxis(radial[0], -1, 0)  # (K, H, W)
+    return _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
+                           gt_kpts_mm, sem_threshold, n_points, grid_l,
+                           mode, full_frame)
+
+
+def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
+                    gt_kpts_mm, sem_threshold, n_points, grid_l, mode,
+                    full_frame):
+    """(K, H, W) sem + radial maps -> pose dict (shared by the 3-net and
+    fused paths)."""
     # Crop a fixed window around the union of the three sem masks before
     # packing: the pack's TopK compaction scales with pixel count (3.4 ms
     # full-frame -> ~1 ms windowed). Truncation is flagged via ``cropped``;
@@ -152,6 +177,8 @@ _STATIC = ("apply_fn", "n_points", "grid_l", "mode", "sem_threshold",
            "full_frame")
 
 frame_pose = partial(jax.jit, static_argnames=_STATIC)(_frame_pose)
+frame_pose_fused = partial(jax.jit, static_argnames=_STATIC)(
+    _frame_pose_fused)
 
 
 @partial(jax.jit, static_argnames=_STATIC)
@@ -176,21 +203,43 @@ def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
     return jax.vmap(one)(images_norm, depths_mm)
 
 
+@partial(jax.jit, static_argnames=_STATIC)
+def frame_pose_fused_batch(apply_fn, variables, images_norm, depths_mm, k,
+                           max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
+                           n_points=8192, grid_l=192, mode="hier",
+                           full_frame=False):
+    """Batched fused-path frames (see ``frame_pose_fused``)."""
+    def one(img, dep):
+        return _frame_pose_fused(
+            apply_fn, variables, img, dep, k, max_radii_dm, gt_kpts_mm,
+            sem_threshold=sem_threshold, n_points=n_points, grid_l=grid_l,
+            mode=mode, full_frame=full_frame)
+    return jax.vmap(one)(images_norm, depths_mm)
+
+
 class PoseEstimator:
     """Compile-once, per-frame 6DoF pose estimation for one object class."""
 
     def __init__(self, cfg, variables_list, keypoints, max_radii_dm,
                  cad_mm=None, k=None):
+        """``variables_list``: 3 per-keypoint variable trees (reference
+        mode, ``cfg.kpt_heads == 1``) or a single multi-head tree
+        (``cfg.kpt_heads > 1`` — one net serves all keypoints)."""
         self.cfg = cfg
+        self.fused = getattr(cfg, "kpt_heads", 1) > 1
         self.model = train_mod.build_model(cfg)
         # Pre-cast weights to the serving compute dtype once: casting the
         # ~118M f32 params per frame costs ~GBs of HBM traffic.
         dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                  else jnp.float32)
-        self.stacked = tuple(
-            jax.tree.map(lambda a: a.astype(dtype)
-                         if a.dtype == jnp.float32 else a, v)
-            for v in variables_list)
+        cast = lambda v: jax.tree.map(  # noqa: E731
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, v)
+        if self.fused:
+            if isinstance(variables_list, (tuple, list)):
+                variables_list = variables_list[0]
+            self.stacked = cast(variables_list)
+        else:
+            self.stacked = tuple(cast(v) for v in variables_list)
         self.gt_kpts_mm = jnp.asarray(np.asarray(keypoints)[1:4] * 1000.0,
                                       jnp.float32)
         self.max_radii = jnp.asarray(max_radii_dm, jnp.float32)
@@ -208,9 +257,10 @@ class PoseEstimator:
         with full-frame packing so serving never silently drops votes.
         """
         image_norm = labels.normalize_image(jnp.asarray(image_u8))
+        pose_fn = frame_pose_fused if self.fused else frame_pose
 
         def run(full_frame):
-            return frame_pose(
+            return pose_fn(
                 self.model.apply, self.stacked, image_norm,
                 jnp.asarray(depth_mm, jnp.float32), self.k, self.max_radii,
                 self.gt_kpts_mm, sem_threshold=self.cfg.sem_threshold,
@@ -230,9 +280,10 @@ class PoseEstimator:
         window truncated mask pixels."""
         imgs = jax.vmap(labels.normalize_image)(jnp.asarray(images_u8))
         deps = jnp.asarray(depths_mm, jnp.float32)
+        batch_fn = frame_pose_fused_batch if self.fused else frame_pose_batch
 
         def run(full_frame):
-            return frame_pose_batch(
+            return batch_fn(
                 self.model.apply, self.stacked, imgs, deps, self.k,
                 self.max_radii, self.gt_kpts_mm,
                 sem_threshold=self.cfg.sem_threshold,

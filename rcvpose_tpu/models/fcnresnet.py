@@ -250,19 +250,27 @@ class DenseFCNResNet152(nn.Module):
 
 
 def _split_heads(out):
-    """(B, H, W, 2) -> ((B, H, W, 1) seg, (B, H, W, 1) radial), f32.
+    """(B, H, W, 2K) -> ((B, H, W, K) seg, (B, H, W, K) radial), f32.
 
-    A 2-channel NHWC conv output gets a T(1,128)-tiled layout on TPU that
-    poisons every downstream elementwise pass over the full-resolution maps
-    (~6 ms/map measured); a plain transpose gets bitcast-folded, so the
-    channel-major view is pinned to the default layout with a Pallas
+    K = 1 is the reference's 2-channel model (fcnresnet.py:188-191); K > 1
+    is the multi-head extension (``output_channels = 2 * kpt_heads``: the
+    first K channels are the per-keypoint segmentation logits, the last K
+    the radial maps) — one shared encoder/decoder serving all keypoints.
+
+    A thin-channel NHWC conv output gets a T(1,128)-tiled layout on TPU
+    that poisons every downstream elementwise pass over the full-resolution
+    maps (~6 ms/map measured); a plain transpose gets bitcast-folded, so
+    the channel-major view is pinned to the default layout with a Pallas
     identity copy (one cheap materialized relayout).
     """
     from rcvpose_tpu.ops.layout import force_standard_layout
 
-    out = jnp.transpose(out.astype(jnp.float32), (3, 0, 1, 2))  # (2, B, H, W)
+    k = out.shape[-1] // 2
+    out = jnp.transpose(out.astype(jnp.float32), (3, 0, 1, 2))  # (2K,B,H,W)
     out = force_standard_layout(out)
-    return out[0][..., None], out[1][..., None]
+    seg = jnp.moveaxis(out[:k], 0, -1)       # (B, H, W, K)
+    radial = jnp.moveaxis(out[k:], 0, -1)
+    return seg, radial
 
 
 class ResFCNResNet152(nn.Module):

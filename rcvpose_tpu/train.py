@@ -64,7 +64,8 @@ def build_model(cfg, blocks=None, width=None):
     tests and dryruns only (width must be a power-of-two fraction >= 1/8 so
     the x4 bottleneck expansion scales exactly); production uses defaults."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    kwargs = dict(dtype=dtype)
+    kwargs = dict(dtype=dtype,
+                  output_channels=2 * getattr(cfg, "kpt_heads", 1))
     if blocks is not None:
         kwargs["blocks"] = tuple(blocks)
     if width is not None:
@@ -99,11 +100,22 @@ def losses(seg, radial, sem_target, radial_target):
     return loss_s, loss_r, acc
 
 
+def _label_maps(batch):
+    """Labels as (B, H, W, K): single-head (B, H, W) gains a channel axis;
+    multi-head labels (kpt_heads > 1) arrive already channeled. The loss
+    semantics extend head-wise: loss_s means over all heads, loss_r's
+    masked normalizer counts GT-nonzero pixels across all heads."""
+    sem_t = batch["sem"]
+    rad_t = batch["radial"]
+    if sem_t.ndim == 3:
+        sem_t, rad_t = sem_t[..., None], rad_t[..., None]
+    return sem_t, rad_t
+
+
 def train_step(state: TrainState, batch):
-    """One optimizer step. batch: dict(image(B,H,W,3), radial(B,H,W),
-    sem(B,H,W)) with labels in NHWC float32."""
-    sem_t = batch["sem"][..., None]
-    rad_t = batch["radial"][..., None]
+    """One optimizer step. batch: dict(image(B,H,W,3), radial(B,H,W[,K]),
+    sem(B,H,W[,K])) with labels in NHWC float32."""
+    sem_t, rad_t = _label_maps(batch)
 
     def loss_fn(params):
         (seg, radial), mutated = state.apply_fn(
@@ -126,8 +138,7 @@ def train_step(state: TrainState, batch):
 
 def eval_step(state: TrainState, batch):
     """Validation pass (reference validate(), train.py:73-111)."""
-    sem_t = batch["sem"][..., None]
-    rad_t = batch["radial"][..., None]
+    sem_t, rad_t = _label_maps(batch)
     seg, radial = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
         batch["image"], False)

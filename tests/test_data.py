@@ -129,3 +129,20 @@ def test_keypoint_generation_when_missing(tmp_path, rng, linemod_tree):
     assert ds.keypoints.shape == (8, 3)
     # regenerated file persisted
     assert os.path.exists(os.path.join(linemod_tree, "toy", "Outside9.npy"))
+
+
+def test_batch_loader_multihead(linemod_tree):
+    import numpy as np
+
+    ds = LinemodDataset(linemod_tree, "toy", kpt_num=1, split="val")
+    k = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]])
+    loader = BatchLoader(ds, k, batch_size=2, shuffle=False, seed=1,
+                         kpt_heads=3)
+    b = next(iter(loader))
+    assert b["radial"].shape == (2, 48, 64, 3)
+    assert b["sem"].shape == (2, 48, 64, 3)
+    # head 0 must equal the single-head labels for keypoint row 1
+    single = BatchLoader(ds, k, batch_size=2, shuffle=False, seed=1)
+    s = next(iter(single))
+    np.testing.assert_allclose(np.asarray(b["radial"][..., 0]),
+                               np.asarray(s["radial"]), atol=1e-5)

@@ -131,3 +131,27 @@ def test_frame_pose_compiles_with_tiny_net(rng, tiny_net):
     assert out["centers"].shape == (3, 3)
     rt2 = est.refine(out, threshold_mm=50.0, icp_iters=3)
     assert rt2.shape == (4, 4)
+
+
+def test_fused_multihead_estimator(rng):
+    """kpt_heads=3: ONE net forward serves all keypoints end-to-end."""
+    import dataclasses
+    from rcvpose_tpu import train as train_mod
+
+    cfg = Config(compute_dtype="float32", vote_grid_l=64, max_points=512,
+                 image_height=64, image_width=64, kpt_heads=3)
+    model = train_mod.build_model(cfg, blocks=TINY, width=0.125)
+    vs = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    est = infer.PoseEstimator(
+        cfg, vs, keypoints=rng.normal(size=(9, 3)) * 0.05,
+        max_radii_dm=[3.0, 3.0, 3.0])
+    est.model = model
+    assert est.fused
+    img = (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    depth = np.zeros((64, 64), np.float32)
+    depth[20:44, 20:44] = 700.0
+    out = est.estimate(img, depth)
+    assert out["rt"].shape == (4, 4)
+    assert out["centers"].shape == (3, 3)
+    batch = est.estimate_batch(img[None], depth[None])
+    assert batch["centers"].shape == (1, 3, 3)

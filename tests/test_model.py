@@ -87,3 +87,24 @@ def test_width_scaling_consistent():
     for width in (1.0, 0.5, 0.25, 0.125):
         for c in (64, 128, 256, 512):
             assert _scaled(4 * c, width) == 4 * _scaled(c, width), (width, c)
+
+def test_multihead_output_shapes(small_input):
+    # kpt_heads=3 extension: 6-channel output splits into K=3 head pairs
+    model = DenseFCNResNet152(blocks=TINY, width=0.125, output_channels=6)
+    variables = model.init(jax.random.PRNGKey(0), small_input, False)
+    seg, radial = model.apply(variables, small_input, False)
+    assert seg.shape == (1, 64, 64, 3)
+    assert radial.shape == (1, 64, 64, 3)
+
+
+def test_multihead_split_matches_single(small_input):
+    # K=1 split must be exactly the reference 2-channel behavior
+    from rcvpose_tpu.models.fcnresnet import _split_heads
+    import jax.numpy as jnp
+
+    out = jnp.arange(2 * 4 * 6 * 2, dtype=jnp.float32).reshape(2, 4, 6, 2)
+    seg, radial = _split_heads(out)
+    np.testing.assert_array_equal(np.asarray(seg[..., 0]),
+                                  np.asarray(out[..., 0]))
+    np.testing.assert_array_equal(np.asarray(radial[..., 0]),
+                                  np.asarray(out[..., 1]))

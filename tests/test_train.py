@@ -133,3 +133,20 @@ def test_trainer_loop_runs_and_checkpoints(rng, tmp_path, mesh_env):
         np.asarray(jax.tree.leaves(restored.params)[0]),
         np.asarray(jax.tree.leaves(final_state.params)[0]))
     assert it == trainer.iteration
+
+
+def test_multihead_train_step_single_device(rng):
+    """kpt_heads=3 training: (B, H, W, 3) labels, loss decreases."""
+    cfg = tiny_cfg(kpt_heads=3)
+    state = train.create_state(cfg, jax.random.PRNGKey(0), blocks=TINY,
+                               sample_shape=(1, 32, 32, 3), width=0.125)
+    b = synth_batch(rng, b=2)
+    batch = {"image": b["image"][:2],
+             "radial": jnp.stack([b["radial"][:2]] * 3, axis=-1),
+             "sem": jnp.stack([b["sem"][:2]] * 3, axis=-1)}
+    step = jax.jit(train.train_step, donate_argnums=(0,))
+    state, m0 = step(state, batch)
+    for _ in range(2):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
