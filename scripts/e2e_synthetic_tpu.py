@@ -135,6 +135,9 @@ def main():
     ap.add_argument("--steps", type=int, default=None,
                     help="train steps per keypoint")
     ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--fused", action="store_true",
+                    help="train ONE multi-head net (kpt_heads=3) instead of "
+                         "three per-keypoint nets")
     ap.add_argument("--out", default="logs/e2e_synthetic")
     args = ap.parse_args()
 
@@ -185,10 +188,11 @@ def main():
         np.linalg.norm(cad_m - KEYPOINTS_M[i + 1], axis=1).max() * 10.0
         for i in range(3)], np.float32)
 
+    heads = 3 if args.fused else 1
     cfg = Config(
         compute_dtype="float32" if small else "bfloat16",
         image_height=h, image_width=w, batch_size=batch,
-        initial_lr=3e-4, max_iterations=steps)
+        initial_lr=3e-4, max_iterations=steps, kpt_heads=heads)
     mesh = parallel.data_mesh(1)
     p_steps = train_mod.make_parallel_steps(mesh)
 
@@ -200,15 +204,23 @@ def main():
     images_norm = np.asarray(
         jax.jit(jax.vmap(labels.normalize_image))(images))
 
+    def labels_for(kp_i):
+        radial, sem = label_fn(
+            jnp.asarray(depths), jnp.asarray(poses, jnp.float32),
+            jnp.asarray(KEYPOINTS_M[kp_i + 1], jnp.float32),
+            jnp.float32(max_radii_dm[kp_i]))
+        return np.asarray(radial), np.asarray(sem)
+
     trained_vars = []
     steps_per_sec = None
-    for kp_i in range(3):
-        kpt = jnp.asarray(KEYPOINTS_M[kp_i + 1], jnp.float32)
-        radial_all, sem_all = label_fn(
-            jnp.asarray(depths), jnp.asarray(poses, jnp.float32), kpt,
-            jnp.float32(max_radii_dm[kp_i]))
-        radial_all = np.asarray(radial_all)
-        sem_all = np.asarray(sem_all)
+    for kp_i in range(1 if args.fused else 3):
+        if args.fused:
+            # multi-head labels (N, H, W, 3): one (radial, sem) per keypoint
+            per = [labels_for(i) for i in range(3)]
+            radial_all = np.stack([p[0] for p in per], axis=-1)
+            sem_all = np.stack([p[1] for p in per], axis=-1)
+        else:
+            radial_all, sem_all = labels_for(kp_i)
 
         # init at 64x64: conv/BN param shapes are spatial-size independent,
         # and the full-res init compile is minutes on a 1-core host
@@ -233,7 +245,8 @@ def main():
 
         # checkpointer only attached for the FINAL save: per-epoch orbax
         # saves of a 118M-param state would write hundreds of GB over a run
-        ckpt = Checkpointer(os.path.join(args.out, f"kpt{kp_i + 1}"))
+        tag = "fused" if args.fused else f"kpt{kp_i + 1}"
+        ckpt = Checkpointer(os.path.join(args.out, tag))
         trainer = train_mod.Trainer(
             cfg=cfg, state=state, mesh=mesh, train_batches=train_batches,
             val_batches=val_batches, checkpointer=None, steps=p_steps)
@@ -245,7 +258,7 @@ def main():
         val = trainer.validate(max_epochs)
         ckpt.save(trainer.state, epoch=max_epochs,
                   iteration=trainer.iteration, best_val=val, is_best=False)
-        print(f"kpt{kp_i + 1}: {trainer.iteration} steps in {dt:.1f} s "
+        print(f"{tag}: {trainer.iteration} steps in {dt:.1f} s "
               f"({steps_per_sec:.2f} steps/s), val loss {val:.4f}",
               file=sys.stderr)
 
@@ -262,7 +275,8 @@ def main():
     eval_cfg = Config(
         compute_dtype=cfg.compute_dtype, image_height=h, image_width=w,
         vote_grid_l=min(grid_l, 96) if small else grid_l,
-        max_points=1024 if small else 8192, sem_threshold=0.8)
+        max_points=1024 if small else 8192, sem_threshold=0.8,
+        kpt_heads=heads)
     est = infer.PoseEstimator(
         eval_cfg, trained_vars, keypoints=KEYPOINTS_M,
         max_radii_dm=max_radii_dm, cad_mm=cad_m * 1000.0, k=k)
@@ -300,8 +314,10 @@ def main():
         "frames": {"train": n_train, "test": n_test},
         "resolution": [h, w],
         "backend": jax.default_backend(),
+        "kpt_heads": heads,
         "model": "DenseFCNResNet152"
-                 + (" (tiny)" if small else " (full 3/8/36/3)"),
+                 + (" (tiny)" if small else " (full 3/8/36/3)")
+                 + (" fused multi-head" if args.fused else ""),
     }
     print(json.dumps(record))
     return 0 if (small or pass_rate >= 0.75) else 1
