@@ -295,7 +295,7 @@ def _accumulate_exact(pts, radii_round, point_mask, grid_l, means, shift,
 _COARSE = 4   # coarse factor (4x4x4 fine voxels per coarse cell)
 _TOPK = 4     # refine around this many coarse peaks
 _WIN = 16     # fine refine window side per peak
-_CPT_STRIDE = 2  # coarse stage samples every k-th point (refine uses all)
+_CPT_STRIDE = 4  # coarse stage samples every k-th point (refine uses all)
 
 
 def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,

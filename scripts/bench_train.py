@@ -1,0 +1,78 @@
+"""Device-true training-step throughput for the production model.
+
+Measured separately from bench.py (the driver's per-round benchmark) so
+the fwd+bwd compile of the full 152-layer model does not sit on the
+driver's critical path. Batches live on device; the step is chained in one
+fori_loop, so host/tunnel feeding costs are excluded — this is the number
+the pjit DP trainer sees per chip once an input pipeline keeps up.
+
+Usage: python scripts/bench_train.py [batch] [height] [width]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    h = int(sys.argv[2]) if len(sys.argv) > 2 else 480
+    w = int(sys.argv[3]) if len(sys.argv) > 3 else 640
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rcvpose_tpu import train as train_mod
+    from rcvpose_tpu.config import Config
+
+    cfg = Config(compute_dtype="bfloat16", image_height=h, image_width=w,
+                 batch_size=batch)
+    state = train_mod.create_state(cfg, jax.random.PRNGKey(0),
+                                   sample_shape=(1, 64, 64, 3))
+    rng = np.random.default_rng(0)
+    radial = np.zeros((batch, h, w), np.float32)
+    radial[:, h // 4:3 * h // 4, w // 4:3 * w // 4] = rng.uniform(
+        1, 3, size=(batch, h // 2, w // 2))
+    batch_d = {
+        "image": jnp.asarray(rng.normal(size=(batch, h, w, 3)), jnp.float32),
+        "radial": jnp.asarray(radial),
+        "sem": jnp.asarray(np.where(radial > 0, 1.0, -1.0), jnp.float32),
+    }
+
+    reps = 8
+
+    @jax.jit
+    def run(state, batch_d):
+        def body(i, carry):
+            state, acc = carry
+            state, m = train_mod.train_step(state, batch_d)
+            return (state, acc + m["loss"])
+        return jax.lax.fori_loop(0, reps, body, (state, jnp.float32(0)))
+
+    t0 = time.time()
+    state2, acc = run(state, batch_d)
+    float(acc)
+    print(f"compile+first: {time.time() - t0:.1f} s", file=sys.stderr)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, acc = run(state, batch_d)
+        float(acc)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    import json
+    print(json.dumps({
+        "metric": "train_step_ms", "value": round(best * 1e3, 2),
+        "imgs_per_sec": round(batch / best, 2), "batch": batch,
+        "resolution": [h, w], "backend": jax.default_backend(),
+        "model": "DenseFCNResNet152 (full, bf16 compute, f32 params)"}))
+
+
+if __name__ == "__main__":
+    main()
