@@ -189,6 +189,43 @@ def import_torch_state_dict(state_dict):
     return out
 
 
+def export_torch_state_dict(variables, template_keys):
+    """Inverse bridge: Flax variables -> reference-format torch state dict.
+
+    ``template_keys``: iterable of reference parameter names (e.g.
+    ``torch_model.state_dict().keys()``) defining the target layout; each is
+    resolved through the same ``torch_key_to_flax`` mapping the importer
+    uses, so the two directions cannot drift apart. Skipped keys: ones that
+    carry no weights (``num_batches_tracked``) and *dead* reference
+    parameters (the reference Bottleneck always allocates ``upsample_``
+    projection weights but only projecting blocks use them —
+    /root/reference/models/fcnresnet.py:16-18, 35-36 — so non-projecting
+    blocks have no Flax counterpart). Load with ``strict=False``; the
+    skipped entries never influence the reference forward pass. Conv
+    kernels are transposed back HWIO -> OIHW. Lets models trained in this
+    framework be consumed by the reference PyTorch code (the reverse of
+    ``import_torch_checkpoint``)."""
+    tree = {"params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {})}
+    out = {}
+    for key in template_keys:
+        mapped = torch_key_to_flax(key)
+        if mapped is None:
+            continue
+        col, path = mapped
+        node = tree[col]
+        try:
+            for p in path:
+                node = node[p]
+        except KeyError:  # dead reference param (unused projection shortcut)
+            continue
+        arr = np.asarray(node)
+        if path[-1] == "kernel":
+            arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> torch OIHW
+        out[key] = arr
+    return out
+
+
 def import_torch_checkpoint(path):
     """Load a reference .pth.tar and return Flax variables. The payload is a
     dict with 'model_state_dict' (train.py:118-128) or a bare state dict."""

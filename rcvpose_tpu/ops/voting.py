@@ -309,8 +309,9 @@ def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
 
     # Any fine voxel inside the exact band lies within
     # (band + coarse-cell circumradius) of its parent cell's center.
-    # (bf16 pair evaluation is blocked on v5e — Mosaic rejects bf16
-    # comparisons; revisit with an i16-ordered-bits compare epilogue.)
+    # (bf16 pair evaluation measured 0.81x the f32 kernel on v5e — the VPU
+    # has no bf16 rate advantage here and the f32-compare epilogue adds
+    # converts; scripts/prof_vote_bf16.py. f32 stays.)
     slack = VOTE_BAND + math.sqrt(3.0) * _COARSE / 2.0
     lo_c, hi_c = widened_band(radii_round, point_mask, slack)
     # The coarse stage only RANKS cells to pick refine windows — a uniform

@@ -94,3 +94,40 @@ def test_dense_fcn_torch_parity_480x640(ref_models):
     tm = ref_models.DenseFCNResNet152(3, 2).eval()
     # wider tolerance: 18.75x more pixels accumulate more f32 reassociation
     _forward_parity(tm, DenseFCNResNet152(), (480, 640), seed=2, atol=1e-4)
+
+
+def test_export_round_trip_and_torch_load(ref_models):
+    """Flax -> torch export: the inverse bridge must reproduce the original
+    state dict bit-exactly AND load into a live reference model."""
+    from rcvpose_tpu.checkpoint import export_torch_state_dict
+
+    torch.manual_seed(3)
+    tm = ref_models.DenseFCNResNet152(3, 2).eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = import_torch_state_dict(sd)
+    back = export_torch_state_dict(variables, sd.keys())
+    for k, v in sd.items():
+        if "num_batches_tracked" in k:
+            assert k not in back
+            continue
+        if k not in back:
+            # dead reference params: non-projecting Bottlenecks allocate an
+            # unused upsample_ shortcut (reference fcnresnet.py:16-18,35-36)
+            assert "upsample_" in k, k
+            continue
+        np.testing.assert_array_equal(back[k], v, err_msg=k)
+
+    # exported dict loads into a FRESH reference model (strict on weights)
+    tm2 = ref_models.DenseFCNResNet152(3, 2).eval()
+    missing, unexpected = tm2.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in back.items()},
+        strict=False)
+    assert not unexpected
+    assert all("num_batches_tracked" in m or "upsample_" in m
+               for m in missing)
+    x = torch.from_numpy(np.random.default_rng(3).normal(
+        size=(1, 3, 64, 64)).astype(np.float32))
+    with torch.no_grad():
+        a = tm(x)[1].numpy()
+        b = tm2(x)[1].numpy()
+    np.testing.assert_allclose(a, b, atol=1e-6)
