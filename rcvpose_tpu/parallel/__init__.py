@@ -3,4 +3,6 @@ from rcvpose_tpu.parallel.mesh import (  # noqa: F401
     data_mesh,
     replicated,
     shard_batch,
+    sharded_frame_pose,
+    sharded_vote_counts,
 )

@@ -44,6 +44,39 @@ def shard_batch(mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def sharded_frame_pose(mesh, apply_fn, variables, images_norm, depths_mm, k,
+                       max_radii_dm, gt_kpts_mm, **kw):
+    """Data-parallel EVALUATION: a batch of frames sharded over the mesh,
+    each device running the whole fused frame program (net -> vote -> Horn)
+    on its shard; weights replicated. The eval-side mirror of the DP train
+    step — throughput scales with chips for offline dataset sweeps. Batch
+    size must be a multiple of the mesh size. Returns the batched frame
+    dict with every leaf sharded on the leading axis.
+    """
+    from rcvpose_tpu import infer
+
+    bsh = batch_sharding(mesh)
+    repl = replicated(mesh)
+    base = (infer._frame_pose_fused if _is_fused(variables)
+            else infer._frame_pose)
+
+    def one(vars_, img, dep, k, mr, gk):
+        return base(apply_fn, vars_, img, dep, k, mr, gk, **kw)
+
+    batched = jax.jit(
+        jax.vmap(one, in_axes=(None, 0, 0, None, None, None)),
+        in_shardings=(repl, bsh, bsh, repl, repl, repl),
+    )
+    return batched(variables, images_norm, depths_mm, k, max_radii_dm,
+                   gt_kpts_mm)
+
+
+def _is_fused(variables):
+    """Heuristic: a tuple/list of 3 trees = per-keypoint nets; a single
+    variables tree = fused multi-head net."""
+    return not isinstance(variables, (tuple, list))
+
+
 def sharded_vote_counts(mesh, voxels, points, lo, hi):
     """Vote counting with points sharded over the mesh and grids psum-ed.
 
