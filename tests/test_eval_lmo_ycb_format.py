@@ -1,0 +1,181 @@
+"""Drive the LMO and YCB evaluators over real-format synthetic trees.
+
+Completes the dataset-layout IO coverage started by
+tests/test_eval_lm_format.py: OCCLUSION_LINEMOD noseg pngs + blender_poses
+(+ the missing-pose frame skip, reference AccumulatorSpace.py:813-822) and
+the YCB layout (per-class HDF5, .mat metadata, factor_depth-scaled depth
+pngs, AUC summary, reference :976-1197).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rcvpose_tpu import geometry
+from rcvpose_tpu.config import Config
+from tests.test_data import write_ascii_ply
+
+
+def _blob(rng, n=2000, r_lo=0.02, r_hi=0.03):
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    return dirs * rng.uniform(r_lo, r_hi, size=(n, 1))
+
+
+KPTS9 = np.zeros((9, 3))
+KPTS9[1] = [0.06, 0.06, 0.06]
+KPTS9[2] = [-0.06, 0.06, -0.06]
+KPTS9[3] = [0.06, -0.06, -0.06]
+
+
+def _render(model_m, rot, t, k, h, w):
+    cam = model_m @ rot.T + t
+    uv = cam @ k.T
+    uv = uv[:, :2] / uv[:, 2:]
+    us = np.round(uv[:, 0]).astype(int)
+    vs = np.round(uv[:, 1]).astype(int)
+    ok = (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
+    depth_mm = np.zeros((h, w), np.float32)
+    depth_mm[vs[ok], us[ok]] = cam[ok, 2] * 1000.0
+    return depth_mm
+
+
+def _radials(depth_mm, rot, t, k):
+    xyz_map, valid = geometry.backproject_dense(
+        depth_mm.astype(np.float32), np.asarray(k))
+    xyz_m = np.asarray(xyz_map) / 1000.0
+    valid = np.asarray(valid)
+    kpts_cam = KPTS9[1:4] @ rot.T + t
+    out = []
+    for i in range(3):
+        r = np.linalg.norm(xyz_m - kpts_cam[i], axis=-1) * 10.0
+        out.append(np.where(valid, r, 0.0).astype(np.float32))
+    return out
+
+
+def _pose_at_pixel(rng, k, px, py, z):
+    angle = rng.uniform(-0.3, 0.3)
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    t = np.array([(px - k[0, 2]) / k[0, 0] * z,
+                  (py - k[1, 2]) / k[1, 1] * z, z])
+    return rot, t
+
+
+def test_estimate_6d_pose_lmo_real_format(tmp_path, rng):
+    from rcvpose_tpu import eval as eval_mod
+
+    k = np.asarray(geometry.LINEMOD_K)
+    h, w = 120, 160
+    root = tmp_path
+    model_m = _blob(rng)
+
+    pv = root / "LINEMOD" / "ape"
+    os.makedirs(pv)
+    write_ascii_ply(str(pv / "ape.ply"), model_m * 1000.0)
+    np.save(pv / "Outside9.npy", KPTS9)
+
+    occ = root / "OCCLUSION_LINEMOD"
+    os.makedirs(occ / "RGB-D" / "rgb_noseg")
+    os.makedirs(occ / "RGB-D" / "depth_noseg")
+    os.makedirs(occ / "blender_poses" / "ape")
+    for kp in range(1, 4):
+        os.makedirs(occ / "estRadialMap" / "ape" / f"Out_pt{kp}_dm")
+
+    # frame 0: full fixture; frame 1: rgb+depth but NO pose -> must be
+    # skipped (reference AccumulatorSpace.py:813-822)
+    for i in range(2):
+        img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(
+            occ / "RGB-D" / "rgb_noseg" / f"color_{i:05d}.png")
+        rot, t = _pose_at_pixel(rng, k, 80, 60, 0.75)
+        depth_mm = _render(model_m, rot, t, k, h, w)
+        depth_u16 = np.round(depth_mm).astype(np.uint16)
+        Image.fromarray(depth_u16, mode="I;16").save(
+            occ / "RGB-D" / "depth_noseg" / f"depth_{i:05d}.png")
+        if i == 0:
+            pose = np.concatenate([rot, t[:, None]], axis=1)
+            np.save(occ / "blender_poses" / "ape" / f"pose{i}.npy", pose)
+            for kp, radial in enumerate(
+                    _radials(depth_u16.astype(np.float32), rot, t, k), 1):
+                np.save(occ / "estRadialMap" / "ape" / f"Out_pt{kp}_dm"
+                        / f"_{i:05d}.npy", radial)
+
+    cfg = Config(root_dataset=str(root), using_ckpts=False,
+                 compute_dtype="float32", vote_grid_l=96, max_points=2048,
+                 vote_mode="hier")
+    lines = []
+    results = eval_mod.estimate_6d_pose_lmo(
+        cfg, class_names=["ape"], progress=lines.append)
+    res = results["ape"]
+    assert res["frames"] == 1  # frame 1 skipped (no pose)
+    assert res["add_before_icp"] == 1.0, res
+    assert res["add_after_icp"] == 1.0, res
+    assert any("(occ)" in ln for ln in lines)
+
+
+def test_estimate_6d_pose_ycb_real_format(tmp_path, rng):
+    import h5py
+    import scipy.io
+
+    from rcvpose_tpu import eval as eval_mod
+
+    root = tmp_path
+    class_id, class_name = 1, "002_master_chef_can"
+    h, w = 120, 160
+    k = np.array([[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1.0]])
+    factor_depth = 10000.0
+    model_m = _blob(rng)
+
+    mdir = root / "models" / class_name
+    os.makedirs(mdir)
+    np.savetxt(mdir / "points.xyz", model_m)
+    np.save(mdir / "Outside9.npy", KPTS9)
+    os.makedirs(root / "Split" / class_name)
+    with open(root / "Split" / class_name / "val.txt", "w") as f:
+        f.write("0000_000001\n")
+
+    cycle, idx = "0000", "000001"
+    os.makedirs(root / "data" / cycle)
+    rot, t = _pose_at_pixel(rng, k, 80, 60, 0.75)
+    depth_mm = _render(model_m, rot, t, k, h, w)
+    depth_u16 = np.round(depth_mm / 1000.0 * factor_depth).astype(np.uint16)
+    Image.fromarray(depth_u16, mode="I;16").save(
+        root / "data" / cycle / f"{idx}-depth.png")
+    img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(root / "data" / cycle / f"{idx}-color.png")
+    scipy.io.savemat(root / "data" / cycle / f"{idx}.mat", {
+        "poses": np.concatenate([rot, t[:, None]], axis=1)[:, :, None],
+        "cls_indexes": np.array([[class_id]]),
+        "factor_depth": np.array([[factor_depth]]),
+        "intrinsic_matrix": k,
+    })
+    with h5py.File(root / f"{class_name}.hdf5", "w") as f:
+        f.create_dataset(f"JPEGImages/{cycle}_{idx}", data=img,
+                         compression="gzip")
+
+    # no-ckpts radial maps: quantize depth the way the evaluator will see it
+    depth_seen = depth_u16.astype(np.float32) / factor_depth * 1000.0
+    os.makedirs(root / "LINEMOD_ORIG")
+    for kp, radial in enumerate(_radials(depth_seen, rot, t, k), 1):
+        d = root / "LINEMOD_ORIG" / "estRadialMap" / class_name \
+            / f"Out_pt{kp}_dm"
+        os.makedirs(d, exist_ok=True)
+        np.save(d / f"{cycle}_{idx}.npy", radial)
+
+    cfg = Config(root_dataset=str(root), using_ckpts=False, dataset="ycb",
+                 compute_dtype="float32", vote_grid_l=96, max_points=2048,
+                 vote_mode="hier", icp_iters=10)
+    lines = []
+    results = eval_mod.estimate_6d_pose_ycb(
+        cfg, class_ids=[class_id], progress=lines.append)
+    res = results["all"]
+    assert res["frames"] == 1
+    # the 1%-of-bbox-diagonal pass threshold (~0.9 mm for this object) is
+    # below the 5 mm voxel quantization by design, so assert on the AUC
+    # (reference's headline YCB metric) instead of the pass rate
+    assert res["adds_auc_before_icp"] >= 0.8, res
+    assert res["adds_auc_after_icp"] >= res["adds_auc_before_icp"] - 1e-6
+    assert any("AUC" in ln for ln in lines)
