@@ -93,7 +93,7 @@ def test_estimate_6d_pose_lmo_real_format(tmp_path, rng):
         rot, t = _pose_at_pixel(rng, k, 80, 60, 0.75)
         depth_mm = _render(model_m, rot, t, k, h, w)
         depth_u16 = np.round(depth_mm).astype(np.uint16)
-        Image.fromarray(depth_u16, mode="I;16").save(
+        Image.fromarray(depth_u16.astype(np.int32)).save(
             occ / "RGB-D" / "depth_noseg" / f"depth_{i:05d}.png")
         if i == 0:
             pose = np.concatenate([rot, t[:, None]], axis=1)
@@ -142,7 +142,7 @@ def test_estimate_6d_pose_ycb_real_format(tmp_path, rng):
     rot, t = _pose_at_pixel(rng, k, 80, 60, 0.75)
     depth_mm = _render(model_m, rot, t, k, h, w)
     depth_u16 = np.round(depth_mm / 1000.0 * factor_depth).astype(np.uint16)
-    Image.fromarray(depth_u16, mode="I;16").save(
+    Image.fromarray(depth_u16.astype(np.int32)).save(
         root / "data" / cycle / f"{idx}-depth.png")
     img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
     Image.fromarray(img).save(root / "data" / cycle / f"{idx}-color.png")
