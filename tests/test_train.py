@@ -150,3 +150,20 @@ def test_multihead_train_step_single_device(rng):
         state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
     assert float(m["loss"]) < float(m0["loss"])
+
+
+def test_nan_loss_raises(rng, mesh_env):
+    """Failure detection (reference train.py:161-162): a NaN loss must
+    abort the epoch with a raise, not silently continue."""
+    cfg, mesh, state0, p_train, p_eval = mesh_env
+    state = copy_state(state0)
+    bad = synth_batch(rng)
+    bad["image"] = bad["image"].at[0, 0, 0, 0].set(jnp.nan)
+    trainer = train.Trainer(
+        cfg=cfg, state=state, mesh=mesh,
+        train_batches=lambda epoch: [bad], val_batches=lambda: [bad],
+        steps=(p_train, p_eval))
+    with pytest.raises(ValueError, match="nan while training"):
+        trainer.train_epoch(0)
+    with pytest.raises(ValueError, match="nan while validating"):
+        trainer.validate(0)
