@@ -135,16 +135,28 @@ class BatchLoader:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+
+        def transform(item):
+            if "radial_dm" in item:
+                return self._transform_precomputed(item["image"],
+                                                   item["radial_dm"])
+            return self._transform(item["image"], item["depth"],
+                                   item["mask"], item["pose"])
+
+        # Device double-buffering: dispatch batch k+1's (async) host->device
+        # transfer + jit transform BEFORE yielding batch k, so the transform
+        # and copy of the next batch overlap the consumer's train step.
+        pending = None
         while True:
             item = q.get()
             if item is stop:
                 break
-            if "radial_dm" in item:
-                yield self._transform_precomputed(item["image"],
-                                                  item["radial_dm"])
-            else:
-                yield self._transform(item["image"], item["depth"],
-                                      item["mask"], item["pose"])
+            nxt = transform(item)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
 
 
 def make_loaders(cfg, dataset_cls=None):

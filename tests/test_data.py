@@ -146,3 +146,40 @@ def test_batch_loader_multihead(linemod_tree):
     s = next(iter(single))
     np.testing.assert_allclose(np.asarray(b["radial"][..., 0]),
                                np.asarray(s["radial"]), atol=1e-5)
+
+
+def test_loader_feeds_trainer_end_to_end(linemod_tree, tmp_path):
+    """Full training-stack integration: on-disk LINEMOD tree -> BatchLoader
+    (threaded prefetch + on-device label gen + device double-buffering) ->
+    pjit Trainer steps. This is the cli run_train path minus argparse."""
+    import jax
+    import numpy as np
+
+    from rcvpose_tpu import parallel, train
+    from rcvpose_tpu.config import Config
+
+    ds = LinemodDataset(linemod_tree, "toy", kpt_num=1, split="val")
+    k = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]])
+    loader = BatchLoader(ds, k, batch_size=2, shuffle=True, seed=0,
+                         drop_last=True)
+    cfg = Config(compute_dtype="float32", image_height=32, image_width=64,
+                 batch_size=2, max_iterations=2, initial_lr=1e-3)
+    mesh = parallel.data_mesh(1)
+    state = train.create_state(cfg, jax.random.PRNGKey(0),
+                               blocks=(1, 1, 1, 1), width=0.125,
+                               sample_shape=(1, 32, 64, 3))
+
+    def crop32(batches):
+        # fixture frames are 48x64; the FCN needs H, W multiples of 32
+        for b in batches:
+            yield {"image": b["image"][:, :32, :64],
+                   "radial": b["radial"][:, :32, :64],
+                   "sem": b["sem"][:, :32, :64]}
+
+    trainer = train.Trainer(
+        cfg=cfg, state=state, mesh=mesh,
+        train_batches=lambda epoch: crop32(loader),
+        val_batches=lambda: crop32(loader))
+    trainer.fit(max_epochs=3)
+    assert trainer.iteration == 2  # max_iterations cap hit
+    assert np.isfinite(trainer.best_val)
