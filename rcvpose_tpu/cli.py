@@ -36,6 +36,11 @@ def build_parser():
     parser.add_argument("--resume_train", action="store_true")
     parser.add_argument("--model_dir", default=defaults.model_dir)
     parser.add_argument("--out_dir", default=defaults.out_dir)
+    parser.add_argument("--model_blocks", default=defaults.model_blocks,
+                        help='stage depths, e.g. "1,1,1,1"; "" = ResNet-152')
+    parser.add_argument("--model_width", type=float,
+                        default=defaults.model_width,
+                        help="channel multiplier (power-of-two fraction)")
     parser.add_argument("--kpt_heads", type=int, default=defaults.kpt_heads,
                         help="1 = reference per-keypoint nets; 3 = one "
                              "fused multi-head net (TPU-first extension)")
@@ -114,7 +119,11 @@ def run_train(cfg):
 
     train_loader, val_loader = make_loaders(cfg)
     steps_per_epoch = max(len(train_loader), 1)
-    mesh = parallel.data_mesh()
+    # mesh size must divide the batch; auto-fit unless pinned by config
+    # (e.g. batch_size 2 on an 8-device host -> 2-device mesh)
+    n_dev = cfg.mesh_data_axis or math.gcd(cfg.batch_size,
+                                           jax.local_device_count())
+    mesh = parallel.data_mesh(max(n_dev, 1))
     state = train.create_state(cfg, jax.random.PRNGKey(cfg.seed),
                                steps_per_epoch=steps_per_epoch)
     ckpt = Checkpointer(log_dir + "/ckpts")

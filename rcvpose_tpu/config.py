@@ -36,6 +36,10 @@ class Config:
     val_interval_epochs: int = 1      # validate every epoch (reference)
     # --- model ---
     model: str = "dense"              # dense | res
+    model_blocks: str = ""            # "" = ResNet-152 (3,8,36,3); e.g.
+    #   "1,1,1,1" for a shallow variant (ablations / smoke tests)
+    model_width: float = 1.0          # channel multiplier; power-of-two
+    #   fractions >= 1/8 scale the bottleneck expansion exactly
     kpt_heads: int = 1                # 1 = reference 3-net mode; 3 = one
     #   shared net with 2*K output channels (sem+radial per keypoint) —
     #   a TPU-first extension: one forward serves all keypoints (~3x less

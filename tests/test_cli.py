@@ -52,3 +52,34 @@ def test_benchmark_mode_is_cwd_independent(tmp_path, monkeypatch):
     assert os.path.isabs(captured["path"])
     assert os.path.isfile(captured["path"])  # resolves to the real bench.py
     assert os.path.basename(captured["path"]) == "bench.py"
+
+
+def test_run_train_end_to_end_with_resume(tmp_path, monkeypatch):
+    """cli.run_train over an on-disk fixture tree: argparse -> config ->
+    make_loaders -> pjit Trainer -> orbax checkpoint, then a --resume_train
+    run restores and continues (the reference's resume resets the epoch,
+    train.py:50 — ours must not)."""
+    import numpy as np
+
+    from rcvpose_tpu.config import Config
+    from tests.test_data import make_linemod_tree
+
+    rng = np.random.default_rng(0)
+    root = make_linemod_tree(tmp_path, rng, h=32, w=64)
+    args = ["--mode", "train", "--root_dataset", root,
+            "--class_name", "toy", "--batch_size", "2",
+            "--max_iterations", "2", "--compute_dtype", "float32",
+            "--model_blocks", "1,1,1,1", "--model_width", "0.125",
+            "--out_dir", str(tmp_path / "logs")]
+    cfg = cli.config_from_args(args)
+    assert cfg.model_blocks == "1,1,1,1"
+    cli.run_train(cfg)
+    from rcvpose_tpu import utils
+    ckpt_dir = utils.get_log_dir(cfg) + "/ckpts"
+    assert os.path.isdir(os.path.join(ckpt_dir, "ckpt"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "model_best"))
+
+    # resume: restores iteration and runs up to the raised cap
+    cfg2 = cli.config_from_args(args + ["--resume_train",
+                                        "--max_iterations", "3"])
+    cli.run_train(cfg2)

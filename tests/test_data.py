@@ -65,9 +65,8 @@ def test_obb_corners_axis_aligned(rng):
     assert (corners.min(axis=0) <= pts.min(axis=0) + 1e-6).all()
 
 
-@pytest.fixture
-def linemod_tree(tmp_path, rng):
-    """Minimal synthetic LINEMOD class tree."""
+def make_linemod_tree(tmp_path, rng, h=48, w=64, n_frames=3):
+    """Minimal synthetic LINEMOD class tree (reference path templates)."""
     base = tmp_path / "LINEMOD" / "toy"
     for d in ["JPEGImages", "data", "mask", "pose", "Split"]:
         os.makedirs(base / d)
@@ -75,21 +74,25 @@ def linemod_tree(tmp_path, rng):
     write_ascii_ply(str(base / "mesh.ply"), cad)
     kpts = rng.normal(size=(9, 3)) * 0.1
     np.save(base / "Outside9.npy", kpts)
-    h, w = 48, 64
     ids = []
-    for i in range(3):
+    for i in range(n_frames):
         img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
         Image.fromarray(img).save(base / "JPEGImages" / f"{i:06d}.jpg")
         depth = rng.integers(500, 900, size=(h, w)).astype(np.uint16)
         write_dpt(str(base / "data" / f"depth{i}.dpt"), depth)
         mask = np.zeros((h, w, 3), np.uint8)
-        mask[10:30, 20:40] = 255
+        mask[h // 4:h // 2, w // 4:w // 2] = 255
         Image.fromarray(mask).save(base / "mask" / f"{str(i).zfill(4)}.png")
         np.save(base / "pose" / f"pose{i}.npy", random_pose(rng))
         ids.append(f"{i:06d}")
     with open(base / "Split" / "val.txt", "w") as f:
         f.write("\n".join(ids) + "\n")
     return str(tmp_path / "LINEMOD")
+
+
+@pytest.fixture
+def linemod_tree(tmp_path, rng):
+    return make_linemod_tree(tmp_path, rng)
 
 
 def test_linemod_dataset(linemod_tree):
