@@ -159,10 +159,18 @@ def run_test(cfg):
 
 def run_gen_labels(cfg):
     """Offline GT radial-map generation (reference 3DRadius_* scripts)."""
+    import os
+
     from rcvpose_tpu.data import genlabels
 
     if cfg.dataset == "lm":
-        genlabels.generate_lm(cfg.root_dataset, cfg.class_name)
+        # accept either the LINEMOD dir itself or its parent (the test
+        # mode's --root_dataset convention), so one flag works for both
+        root = cfg.root_dataset
+        sub = os.path.join(root, "LINEMOD")
+        if os.path.isdir(sub):
+            root = sub
+        genlabels.generate_lm(root, cfg.class_name)
     else:
         from rcvpose_tpu.eval import YCB_CLASS_NAMES
         class_id = {v: k for k, v in YCB_CLASS_NAMES.items()}[cfg.class_name]

@@ -83,3 +83,40 @@ def test_run_train_end_to_end_with_resume(tmp_path, monkeypatch):
     cfg2 = cli.config_from_args(args + ["--resume_train",
                                         "--max_iterations", "3"])
     cli.run_train(cfg2)
+
+
+def test_run_test_end_to_end(tmp_path):
+    """cli.run_test dispatch: lm fixture tree -> evaluator results."""
+    import numpy as np
+
+    from tests.test_eval_lm_format import make_lm_eval_tree
+
+    rng = np.random.default_rng(0)
+    root = make_lm_eval_tree(tmp_path, rng)
+    cfg = cli.config_from_args([
+        "--mode", "test", "--root_dataset", root, "--no_ckpts",
+        "--compute_dtype", "float32", "--vote_grid_l", "96",
+        "--eval_classes", "ape", "--out_dir", str(tmp_path / "logs")])
+    cfg.max_points = 2048
+    results = cli.run_test(cfg)
+    assert results["ape"]["frames"] == 2
+    assert results["ape"]["add_after_icp"] == 1.0
+
+
+def test_run_gen_labels_accepts_both_roots(tmp_path):
+    """gen-labels works with --root_dataset pointing at the LINEMOD dir's
+    PARENT (the test mode's convention) as well as the dir itself."""
+    import numpy as np
+
+    from tests.test_data import make_linemod_tree
+
+    rng = np.random.default_rng(1)
+    lm_root = make_linemod_tree(tmp_path, rng)  # <tmp>/LINEMOD
+    cfg = cli.config_from_args([
+        "--mode", "gen-labels", "--root_dataset", str(tmp_path),
+        "--class_name", "toy"])
+    cli.run_gen_labels(cfg)
+    out = os.path.join(lm_root, "toy", "Out_pt1_dm")
+    files = sorted(os.listdir(out))
+    assert files == ["000000.npy", "000001.npy", "000002.npy"]
+    assert np.load(os.path.join(out, files[0])).shape == (48, 64)

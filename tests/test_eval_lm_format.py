@@ -18,8 +18,7 @@ from rcvpose_tpu.config import Config
 from tests.test_data import write_ascii_ply, write_dpt
 
 
-@pytest.fixture
-def lm_eval_tree(tmp_path, rng):
+def make_lm_eval_tree(tmp_path, rng):
     """Two synthetic 'ape' frames in the exact on-disk layout eval.py reads.
 
     Rendered with the real LINEMOD intrinsics (the evaluator hardcodes them,
@@ -93,6 +92,11 @@ def lm_eval_tree(tmp_path, rng):
     with open(pv / "Split" / "val.txt", "w") as f:
         f.write("\n".join(ids) + "\n")
     return str(root)
+
+
+@pytest.fixture
+def lm_eval_tree(tmp_path, rng):
+    return make_lm_eval_tree(tmp_path, rng)
 
 
 def test_estimate_6d_pose_lm_real_format(lm_eval_tree, tmp_path):
