@@ -157,7 +157,10 @@ class RadialMapSource:
 
     The reference either runs one checkpoint per keypoint
     (AccumulatorSpace.py:520-530, 595-610) or loads precomputed
-    ``estRadialMap/.../Out_pt<k>_dm/*.npy`` files (:612-618).
+    ``estRadialMap/.../Out_pt<k>_dm/*.npy`` files (:612-618). The fused
+    extension (``cfg.kpt_heads > 1``) runs ONE multi-head forward per frame
+    and serves every keypoint from its cached output — the serving-path
+    speedup (infer.frame_pose_fused) made reachable from ``--mode test``.
     """
 
     def __init__(self, cfg, class_name, apply_fns=None, params=None):
@@ -165,9 +168,18 @@ class RadialMapSource:
         self.class_name = class_name
         self.apply_fns = apply_fns
         self.params = params
+        self._fused_cache = None  # (frame key, (seg (H,W,K), radial (H,W,K)))
 
     def maps(self, kpt_idx, image_u8, frame_id, lmo=False):
         if self.cfg.using_ckpts:
+            if getattr(self.cfg, "kpt_heads", 1) > 1:
+                key = (frame_id, lmo)
+                if self._fused_cache is None or self._fused_cache[0] != key:
+                    img = labels.normalize_image(image_u8)[None]
+                    seg, radial = self.apply_fns[0](self.params[0], img)
+                    self._fused_cache = (key, (seg[0], radial[0]))
+                seg, radial = self._fused_cache[1]
+                return seg[:, :, kpt_idx - 1], radial[:, :, kpt_idx - 1]
             img = labels.normalize_image(image_u8)[None]
             seg, radial = self.apply_fns[kpt_idx - 1](
                 self.params[kpt_idx - 1], img)
@@ -182,25 +194,103 @@ class RadialMapSource:
         return jnp.asarray(sem), jnp.asarray(radial.astype(np.float32))
 
 
+def _read_eval_cad_m(path):
+    """Read the eval-path ``<class>.ply`` CAD cloud in METERS, guarded.
+
+    The reference treats this file as meter-valued: ``max_radii_dm`` is
+    computed from the raw vertex values against the (meter) keypoints
+    (AccumulatorSpace.py:544-549) and the model is scaled ``xyz_load*1000``
+    into mm for ADD (:663-667). This is the opposite convention from the
+    train-path ``mesh.ply`` (millimeters, divided by 1000 at
+    rmap_dataset.py:41-42). The guard catches a mm-valued file loudly
+    instead of silently collapsing the radius clip and shrinking ADD 1000x.
+    """
+    cad_m = readers.read_ply_points(path)
+    extent = float(np.max(cad_m.max(axis=0) - cad_m.min(axis=0)))
+    if not (0.03 <= extent <= 0.6):
+        raise ValueError(
+            f"{path}: largest extent {extent:.4g} is outside 0.03-0.6 m; the "
+            "eval <class>.ply must be meter-valued (reference "
+            "AccumulatorSpace.py:544-549, 663-667). An extent in the "
+            "30-600 range means the file is millimeter-valued (that is the "
+            "train-path mesh.ply convention, not this one).")
+    return cad_m
+
+
+def _per_kpt_max_radii_dm(cad_m, keypoints):
+    """Per-keypoint radius clips: max distance from any CAD vertex to the
+    keypoint, x10 into decimeters — both in meters, raw values
+    (AccumulatorSpace.py:544-549)."""
+    return np.array([
+        np.linalg.norm(cad_m - keypoints[i + 1], axis=1).max() * 10.0
+        for i in range(3)])
+
+
+def _orbax_variables(path):
+    """Restore {'params','batch_stats'} from an orbax directory: either a
+    ``checkpoint.Checkpointer`` directory (``model_best`` preferred over
+    ``ckpt``) or a bare saved-payload directory."""
+    import orbax.checkpoint as ocp
+
+    for name in ("model_best", "ckpt"):
+        sub = os.path.join(path, name)
+        if os.path.isdir(sub):
+            path = sub
+            break
+    payload = ocp.StandardCheckpointer().restore(path)
+    return {"params": payload["params"],
+            "batch_stats": payload["batch_stats"]}
+
+
 def _load_models(cfg, class_name):
-    """Load the three per-keypoint checkpoints (torch .pth.tar import or
-    orbax)."""
+    """Load eval networks for one class, from either checkpoint format.
+
+    3-net reference mode (``cfg.kpt_heads == 1``): one model per keypoint,
+    from ``<model_dir>/<class>_pt<k>.pth.tar`` (reference torch layout,
+    AccumulatorSpace.py:522) or — the format ``--mode train`` produces —
+    an orbax directory ``<model_dir>/<class>_pt<k>/`` (a Checkpointer dir
+    with ``ckpt``/``model_best``, or a bare payload dir).
+
+    Fused mode (``cfg.kpt_heads > 1``, framework extension): ONE multi-head
+    checkpoint from ``<model_dir>/<class>/`` or ``model_dir`` itself if it
+    is directly a Checkpointer directory. Returns single-element lists; the
+    RadialMapSource fused path serves all keypoints from it.
+    """
     from rcvpose_tpu import checkpoint as ckpt_mod
     from rcvpose_tpu import train as train_mod
 
     model = train_mod.build_model(cfg)
+
+    def jit_apply():
+        return jax.jit(lambda v, x, m=model: m.apply(v, x, False))
+
+    if getattr(cfg, "kpt_heads", 1) > 1:
+        for cand in (os.path.join(cfg.model_dir, class_name), cfg.model_dir):
+            if os.path.isdir(cand):
+                variables = _orbax_variables(cand)
+                return [jit_apply()], [
+                    {"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]}]
+        raise FileNotFoundError(
+            f"fused-mode checkpoint not found: neither "
+            f"{os.path.join(cfg.model_dir, class_name)} nor {cfg.model_dir} "
+            "is an orbax checkpoint directory")
+
     apply_fns, params = [], []
     for i in range(1, 4):
         torch_path = os.path.join(cfg.model_dir,
                                   f"{class_name}_pt{i}.pth.tar")
+        orbax_path = os.path.join(cfg.model_dir, f"{class_name}_pt{i}")
         if os.path.exists(torch_path):
             variables = ckpt_mod.import_torch_checkpoint(torch_path)
+        elif os.path.isdir(orbax_path):
+            variables = _orbax_variables(orbax_path)
         else:
             raise FileNotFoundError(
-                f"{torch_path} not found (reference ckpt layout, "
-                "AccumulatorSpace.py:522)")
-        fn = jax.jit(lambda v, x, m=model: m.apply(v, x, False))
-        apply_fns.append(fn)
+                f"neither {torch_path} (reference ckpt layout, "
+                f"AccumulatorSpace.py:522) nor orbax dir {orbax_path} "
+                "(this framework's --mode train output) exists")
+        apply_fns.append(jit_apply())
         params.append({"params": variables["params"],
                        "batch_stats": variables["batch_stats"]})
     return apply_fns, params
@@ -220,12 +310,10 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
         with open(os.path.join(root_pv, "Split", "val.txt")) as f:
             test_ids = {line.strip() for line in f if line.strip()}
 
-        cad_mm = readers.read_ply_points(
-            os.path.join(root_pv, f"{class_name}.ply"))
+        cad_m = _read_eval_cad_m(os.path.join(root_pv, f"{class_name}.ply"))
+        cad_mm = cad_m * 1000.0  # mm for ADD/ICP (reference :663-667)
         keypoints = np.load(os.path.join(root_pv, "Outside9.npy"))
-        max_radii = np.array([
-            np.linalg.norm(cad_mm / 1000.0 - keypoints[i + 1], axis=1).max()
-            * 10.0 for i in range(3)])
+        max_radii = _per_kpt_max_radii_dm(cad_m, keypoints)
 
         source = RadialMapSource(cfg, class_name)
         if cfg.using_ckpts:
@@ -236,7 +324,6 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
         sym = class_name in LM_SYMS
         threshold_mm = ADD_THRESHOLD[class_name] * 1000.0
         cad_j = jnp.asarray(cad_mm, jnp.float32)
-        n_scene = cfg.max_points * 3
 
         bf_icp = af_icp = counter = 0
         net_ns = acc_ns = 0
@@ -259,15 +346,21 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
             est_kpts = np.zeros((3, 3))
             scene_parts, scene_masks = [], []
             for kp in range(1, 4):
+                # Per-stage timers block on device completion: JAX dispatch
+                # is async, so without block_until_ready these would time the
+                # dispatch and attribute the compute to whoever blocks first
+                # (the reference plumbed net_time/acc_time but never printed
+                # them, AccumulatorSpace.py:594-599, 627-630).
                 t0 = time.perf_counter_ns()
-                sem_map, radial_map = source.maps(kp, image, frame_id)
+                sem_map, radial_map = jax.block_until_ready(
+                    source.maps(kp, image, frame_id))
                 net_ns += time.perf_counter_ns() - t0
                 t0 = time.perf_counter_ns()
-                center, overflow, count, pts_mm, mask = \
+                center, overflow, count, pts_mm, mask = jax.block_until_ready(
                     keypoint_with_retry(
                         cfg, sem_map, radial_map, depth_j, k,
                         jnp.float32(max_radii[kp - 1]),
-                        jnp.float32(sem_threshold))
+                        jnp.float32(sem_threshold)))
                 est_kpts[kp - 1] = np.asarray(center)
                 acc_ns += time.perf_counter_ns() - t0
                 scene_parts.append(pts_mm)
@@ -313,6 +406,10 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
         progress(f"ADD(s) of {class_name}: before ICP "
                  f"{results[class_name]['add_before_icp']:.4f}, after ICP "
                  f"{results[class_name]['add_after_icp']:.4f}")
+        progress(f"{class_name} per-frame time: net "
+                 f"{results[class_name]['net_ms_per_frame']:.1f} ms, "
+                 f"accumulator "
+                 f"{results[class_name]['acc_ms_per_frame']:.1f} ms")
     return results
 
 
@@ -336,12 +433,10 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
     for class_name in class_names:
         progress(f"Evaluation on {class_name} (occlusion)")
         root_pv = os.path.join(cfg.root_dataset, "LINEMOD", class_name)
-        cad_mm = readers.read_ply_points(
-            os.path.join(root_pv, f"{class_name}.ply"))
+        cad_m = _read_eval_cad_m(os.path.join(root_pv, f"{class_name}.ply"))
+        cad_mm = cad_m * 1000.0  # mm for ADD/ICP (reference :663-667)
         keypoints = np.load(os.path.join(root_pv, "Outside9.npy"))
-        max_radii = np.array([
-            np.linalg.norm(cad_mm / 1000.0 - keypoints[i + 1], axis=1).max()
-            * 10.0 for i in range(3)])
+        max_radii = _per_kpt_max_radii_dm(cad_m, keypoints)
 
         source = RadialMapSource(cfg, class_name)
         if cfg.using_ckpts:

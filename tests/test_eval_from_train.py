@@ -1,0 +1,114 @@
+"""--mode test must evaluate what --mode train produces.
+
+The reference's Trainer.Test() evaluates its own trained weights
+(/root/reference/train.py:190-194). Here that means estimate_6d_pose_lm
+driven by orbax checkpoints from this framework's Trainer — in both the
+3-net reference mode (one checkpoint per keypoint) and the fused multi-head
+extension (one checkpoint, one forward per frame serving all keypoints).
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rcvpose_tpu.config import Config
+from tests.test_eval_lm_format import make_lm_eval_tree
+
+
+def _train_and_save(cfg, ckpt_dir, seed=0):
+    """One real optimizer step on a synthetic batch, then orbax-save."""
+    from rcvpose_tpu import train as train_mod
+    from rcvpose_tpu.checkpoint import Checkpointer
+
+    state = train_mod.create_state(
+        cfg, jax.random.PRNGKey(seed), steps_per_epoch=10,
+        sample_shape=(1, 32, 32, 3))
+    rng = np.random.default_rng(seed)
+    k = cfg.kpt_heads
+    radial = np.zeros((2, 32, 32, k), np.float32)
+    radial[:, 8:24, 8:24, :] = rng.uniform(1, 3, size=(2, 16, 16, k))
+    batch = {
+        "image": rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+        "radial": radial.squeeze(-1) if k == 1 else radial,
+        "sem": (np.where(radial > 0, 1.0, -1.0).astype(np.float32)
+                .squeeze(-1) if k == 1 else
+                np.where(radial > 0, 1.0, -1.0).astype(np.float32)),
+    }
+    state, m = train_mod.train_step(state, batch)
+    assert float(m["loss"]) == float(m["loss"])
+    Checkpointer(ckpt_dir).save(state, epoch=0, iteration=1,
+                                best_val=float(m["loss"]), is_best=True)
+
+
+@pytest.mark.parametrize("kpt_heads", [1, 3])
+def test_eval_from_orbax_checkpoints(tmp_path, rng, kpt_heads):
+    from rcvpose_tpu import eval as eval_mod
+
+    tree = make_lm_eval_tree(tmp_path / "data", rng, h=128, w=160)
+    model_dir = str(tmp_path / "trained")
+    cfg = Config(root_dataset=tree, using_ckpts=True, model_dir=model_dir,
+                 model_blocks="1,1,1,1", model_width=0.125,
+                 compute_dtype="float32", kpt_heads=kpt_heads,
+                 image_height=128, image_width=160, vote_grid_l=96,
+                 max_points=2048, vote_mode="hier", icp_iters=5)
+
+    if kpt_heads == 1:
+        # 3-net reference layout: <model_dir>/<class>_pt<k>/ orbax dirs
+        for i in range(1, 4):
+            _train_and_save(cfg, os.path.join(model_dir, f"ape_pt{i}"),
+                            seed=i)
+    else:
+        # fused layout: one multi-head checkpoint <model_dir>/<class>/
+        _train_and_save(cfg, os.path.join(model_dir, "ape"))
+
+    results = eval_mod.estimate_6d_pose_lm(cfg, class_names=["ape"],
+                                           progress=lambda *_: None)
+    res = results["ape"]
+    # a one-step model gives no accuracy guarantee; the contract under test
+    # is that training output drives the full eval pipeline end to end
+    assert res["frames"] == 2
+    assert np.isfinite(res["add_before_icp"])
+    assert np.isfinite(res["add_after_icp"])
+    assert res["net_ms_per_frame"] > 0
+
+
+def test_missing_checkpoints_error_names_both_formats(tmp_path, rng):
+    from rcvpose_tpu import eval as eval_mod
+
+    cfg = Config(model_dir=str(tmp_path / "nothing"), using_ckpts=True)
+    with pytest.raises(FileNotFoundError, match="orbax"):
+        eval_mod._load_models(cfg, "ape")
+    cfg.kpt_heads = 3
+    with pytest.raises(FileNotFoundError, match="fused"):
+        eval_mod._load_models(cfg, "ape")
+
+
+def test_fused_source_runs_one_forward_per_frame():
+    """RadialMapSource in fused mode caches the multi-head forward: three
+    keypoint queries on one frame -> exactly one apply call."""
+    import jax.numpy as jnp
+
+    from rcvpose_tpu import eval as eval_mod
+
+    calls = []
+
+    def fake_apply(params, img):
+        calls.append(1)
+        h, w = img.shape[1:3]
+        seg = jnp.broadcast_to(jnp.arange(3.0), (1, h, w, 3))
+        return seg, seg * 10.0
+
+    cfg = Config(using_ckpts=True, kpt_heads=3)
+    src = eval_mod.RadialMapSource(cfg, "ape", apply_fns=[fake_apply],
+                                   params=[None])
+    img = np.zeros((32, 32, 3), np.uint8)
+    for kp in range(1, 4):
+        seg, radial = src.maps(kp, img, "000001")
+        assert seg.shape == (32, 32)
+        assert float(seg[0, 0]) == kp - 1  # head kp served
+        assert float(radial[0, 0]) == (kp - 1) * 10.0
+    assert sum(calls) == 1
+    src.maps(1, img, "000002")  # new frame -> one more forward
+    assert sum(calls) == 2

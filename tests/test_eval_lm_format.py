@@ -18,15 +18,15 @@ from rcvpose_tpu.config import Config
 from tests.test_data import write_ascii_ply, write_dpt
 
 
-def make_lm_eval_tree(tmp_path, rng):
+def make_lm_eval_tree(tmp_path, rng, h=120, w=160):
     """Two synthetic 'ape' frames in the exact on-disk layout eval.py reads.
 
     Rendered with the real LINEMOD intrinsics (the evaluator hardcodes them,
-    like the reference) into a small 120x160 frame; the object is placed so
-    it projects into that window.
+    like the reference) into a small frame (default 120x160; pass /32-divisible
+    dims when the network itself must run); the object is placed so it
+    projects into that window.
     """
     k = np.asarray(geometry.LINEMOD_K)
-    h, w = 120, 160
     root = tmp_path
     pv = root / "LINEMOD" / "ape"
     orig = root / "LINEMOD_ORIG" / "ape"
@@ -46,7 +46,10 @@ def make_lm_eval_tree(tmp_path, rng):
     kpts9[1] = [0.06, 0.06, 0.06]
     kpts9[2] = [-0.06, 0.06, -0.06]
     kpts9[3] = [0.06, -0.06, -0.06]
-    write_ascii_ply(str(pv / "ape.ply"), model_m * 1000.0)  # CAD in mm
+    # CAD in METERS: the eval-path <class>.ply is meter-valued in the real
+    # dataset (reference AccumulatorSpace.py:544-549 computes max radii from
+    # raw values; :663-667 scales *1000 for mm-ADD)
+    write_ascii_ply(str(pv / "ape.ply"), model_m)
     np.save(pv / "Outside9.npy", kpts9)
 
     ids = []
@@ -130,3 +133,22 @@ def test_estimate_6d_pose_lm_real_format(lm_eval_tree, tmp_path):
     overlay = np.asarray(Image.open(os.path.join(demo_dir, files[0])))
     assert (overlay == [255, 0, 0]).all(axis=-1).any()  # estimate painted
     assert (overlay == [0, 0, 255]).all(axis=-1).any()  # GT painted
+
+
+def test_eval_ply_unit_guard(lm_eval_tree, rng):
+    """A millimeter-valued eval ply (the wrong convention — that is the
+    train-path mesh.ply unit) must fail loudly, not silently collapse the
+    max-radius clip and shrink ADD 1000x."""
+    from rcvpose_tpu import eval as eval_mod
+
+    ply = os.path.join(lm_eval_tree, "LINEMOD", "ape", "ape.ply")
+    pts_m = eval_mod._read_eval_cad_m(ply)  # meter-valued fixture passes
+    assert 0.03 <= float(np.ptp(pts_m, axis=0).max()) <= 0.6
+
+    write_ascii_ply(ply, pts_m * 1000.0)  # rewrite in mm
+    with pytest.raises(ValueError, match="millimeter"):
+        eval_mod._read_eval_cad_m(ply)
+    with pytest.raises(ValueError, match="millimeter"):
+        eval_mod.estimate_6d_pose_lm(
+            Config(root_dataset=lm_eval_tree, using_ckpts=False),
+            class_names=["ape"], progress=lambda *_: None)

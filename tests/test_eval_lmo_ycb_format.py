@@ -74,7 +74,7 @@ def test_estimate_6d_pose_lmo_real_format(tmp_path, rng):
 
     pv = root / "LINEMOD" / "ape"
     os.makedirs(pv)
-    write_ascii_ply(str(pv / "ape.ply"), model_m * 1000.0)
+    write_ascii_ply(str(pv / "ape.ply"), model_m)  # meters (see LM fixture)
     np.save(pv / "Outside9.npy", KPTS9)
 
     occ = root / "OCCLUSION_LINEMOD"
