@@ -148,6 +148,11 @@ def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
     ys = (vs - k[1, 2]) * depw / k[1, 1]
     flat_xyz = jnp.stack([xs, ys, depw], axis=-1).reshape(-1, 3) / 1000.0
     flat_union = (depw > 0).reshape(-1)
+    # Budget check: when the union mask holds more pixels than the packing
+    # budget, TopK compaction silently drops the excess (and with it some
+    # keypoints' votes). Surface it so estimate() can escalate n_points.
+    union_count = jnp.sum(flat_union.astype(jnp.int32))
+    budget_exceeded = union_count > n_points
     order, umask = geometry.pack_valid_indices(flat_union, n_points)
     pts = jnp.where(umask[:, None], flat_xyz[order], 0.0)
     pts, umask = jax.lax.optimization_barrier((pts, umask))
@@ -170,7 +175,8 @@ def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
     cropped = counts < total_valid  # window truncated some mask pixels
     return {"rt": rt, "centers": centers, "overflow": overflow,
             "counts": counts, "scene_pts": pts_mm, "scene_mask": masks,
-            "cropped": cropped}
+            "cropped": cropped, "budget_exceeded": budget_exceeded,
+            "union_count": union_count}
 
 
 _STATIC = ("apply_fn", "n_points", "grid_l", "mode", "sem_threshold",
@@ -181,6 +187,30 @@ frame_pose_fused = partial(jax.jit, static_argnames=_STATIC)(
     _frame_pose_fused)
 
 
+def _scan_pose_from_maps(sem_maps_b, radial_maps_b, depths_mm, k,
+                         max_radii_dm, gt_kpts_mm, sem_threshold, n_points,
+                         grid_l, mode, full_frame):
+    """(B, K, H, W) maps -> batched pose dicts via ``lax.scan`` over frames.
+
+    scan (not vmap) on purpose: inside a scan body the windowed packing's
+    ``dynamic_slice`` stays a cheap slice, while under vmap the per-frame
+    window origins turn every slice into a full-frame gather (measured
+    23.0 vs 16.8 ms/frame at B=4 on v5e in round 1 — the reason the
+    batched path used to LOSE to chained single frames). The per-frame
+    vote + fit work is serial either way; only the conv forwards benefit
+    from real batching, and those run batched before this scan.
+    """
+    def body(carry, inp):
+        sems, rads, dep = inp
+        out = _pose_from_maps(sems, rads, dep, k, max_radii_dm, gt_kpts_mm,
+                              sem_threshold, n_points, grid_l, mode,
+                              full_frame)
+        return carry, out
+
+    _, outs = jax.lax.scan(body, 0, (sem_maps_b, radial_maps_b, depths_mm))
+    return outs
+
+
 @partial(jax.jit, static_argnames=_STATIC)
 def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
                      max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
@@ -188,19 +218,22 @@ def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
                      full_frame=False):
     """Batched ``frame_pose``: (B, H, W, 3) images + (B, H, W) depths.
 
-    vmapping the whole frame program batches the three per-keypoint conv
-    forwards (B images per conv instead of 1). Measured on v5e at B=4 this
-    is *slower* per frame than the chained single-frame path (23.0 vs
-    16.8 ms — vmapped windowed packing turns dynamic slices into gathers,
-    and batch-1 full-res convs already utilize the MXU well), so it exists
-    for API completeness / bursty-arrival serving, not as the fast path;
-    ``bench.py`` reports both."""
-    def one(img, dep):
-        return _frame_pose(
-            apply_fn, stacked_vars, img, dep, k, max_radii_dm, gt_kpts_mm,
-            sem_threshold=sem_threshold, n_points=n_points, grid_l=grid_l,
-            mode=mode, full_frame=full_frame)
-    return jax.vmap(one)(images_norm, depths_mm)
+    Each of the three per-keypoint nets forwards the WHOLE batch (B images
+    per conv — better MXU utilization than B separate batch-1 programs),
+    then the packing/vote/fit stage scans over frames
+    (``_scan_pose_from_maps``). Returns the ``frame_pose`` dict with a
+    leading batch axis on every entry."""
+    if isinstance(stacked_vars, (tuple, list)):
+        var_list = list(stacked_vars)
+    else:
+        var_list = [jax.tree.map(lambda a, i=i: a[i], stacked_vars)
+                    for i in range(3)]
+    maps = [apply_fn(v, images_norm, False) for v in var_list]
+    sem_maps_b = jnp.stack([m[0][..., 0] for m in maps], axis=1)  # (B,3,H,W)
+    radial_maps_b = jnp.stack([m[1][..., 0] for m in maps], axis=1)
+    return _scan_pose_from_maps(sem_maps_b, radial_maps_b, depths_mm, k,
+                                max_radii_dm, gt_kpts_mm, sem_threshold,
+                                n_points, grid_l, mode, full_frame)
 
 
 @partial(jax.jit, static_argnames=_STATIC)
@@ -208,13 +241,14 @@ def frame_pose_fused_batch(apply_fn, variables, images_norm, depths_mm, k,
                            max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                            n_points=8192, grid_l=192, mode="hier",
                            full_frame=False):
-    """Batched fused-path frames (see ``frame_pose_fused``)."""
-    def one(img, dep):
-        return _frame_pose_fused(
-            apply_fn, variables, img, dep, k, max_radii_dm, gt_kpts_mm,
-            sem_threshold=sem_threshold, n_points=n_points, grid_l=grid_l,
-            mode=mode, full_frame=full_frame)
-    return jax.vmap(one)(images_norm, depths_mm)
+    """Batched fused-path frames: ONE multi-head forward over the whole
+    batch, then the per-frame scan (see ``frame_pose_batch``)."""
+    seg, radial = apply_fn(variables, images_norm, False)  # (B, H, W, K)
+    sem_maps_b = jnp.moveaxis(seg, -1, 1)                  # (B, K, H, W)
+    radial_maps_b = jnp.moveaxis(radial, -1, 1)
+    return _scan_pose_from_maps(sem_maps_b, radial_maps_b, depths_mm, k,
+                                max_radii_dm, gt_kpts_mm, sem_threshold,
+                                n_points, grid_l, mode, full_frame)
 
 
 class PoseEstimator:
@@ -248,52 +282,75 @@ class PoseEstimator:
         self.k = jnp.asarray(
             geometry.LINEMOD_K if k is None else k, jnp.float32)
 
+    def _escalate(self, run, image_pixels):
+        """Run a frame program and escalate its fallbacks until nothing is
+        silently dropped: ``cropped`` (window truncated mask pixels) re-runs
+        with full-frame packing; ``budget_exceeded`` (union mask larger than
+        the point budget, so TopK compaction dropped votes) doubles
+        ``n_points`` until the union fits (power-of-two sizes keep the set
+        of compiled programs bounded). Both flags can fire on one frame —
+        the loop re-checks after every re-run."""
+        full = False
+        n_pts = self.cfg.max_points
+        result = run(full, n_pts)
+        while True:
+            redo = False
+            if not full and bool(np.asarray(result["cropped"]).any()):
+                full = True
+                redo = True
+            if (bool(np.asarray(result["budget_exceeded"]).any())
+                    and n_pts < image_pixels):
+                needed = min(int(np.asarray(result["union_count"]).max()),
+                             image_pixels)
+                while n_pts < needed:
+                    n_pts *= 2
+                redo = True
+            if not redo:
+                return result
+            result = run(full, n_pts)
+
     def estimate(self, image_u8, depth_mm):
         """image: (H, W, 3) uint8 RGB; depth: (H, W) mm. Returns the frame
         dict from ``frame_pose`` (device arrays).
 
-        If the fixed packing window truncated any mask pixels (``cropped``
-        — a large/near object like driller or lamp), the frame is re-run
-        with full-frame packing so serving never silently drops votes.
+        Serving never silently drops votes: if the fixed packing window
+        truncated any mask pixels (``cropped`` — a large/near object like
+        driller or lamp) the frame re-runs with full-frame packing, and if
+        the union mask exceeded the point budget (``budget_exceeded``) it
+        re-runs with a doubled budget (see ``_escalate``).
         """
         image_norm = labels.normalize_image(jnp.asarray(image_u8))
         pose_fn = frame_pose_fused if self.fused else frame_pose
 
-        def run(full_frame):
+        def run(full_frame, n_points):
             return pose_fn(
                 self.model.apply, self.stacked, image_norm,
                 jnp.asarray(depth_mm, jnp.float32), self.k, self.max_radii,
                 self.gt_kpts_mm, sem_threshold=self.cfg.sem_threshold,
-                n_points=self.cfg.max_points, grid_l=self.cfg.vote_grid_l,
+                n_points=n_points, grid_l=self.cfg.vote_grid_l,
                 mode=self.cfg.vote_mode, full_frame=full_frame)
 
-        result = run(False)
-        if bool(np.asarray(result["cropped"]).any()):
-            result = run(True)
-        return result
+        return self._escalate(run, int(np.prod(np.shape(depth_mm))))
 
     def estimate_batch(self, images_u8, depths_mm):
         """Batched estimate: (B, H, W, 3) uint8 images + (B, H, W) mm depths
         -> batched frame dict (leading axis B on every entry). See
         ``frame_pose_batch`` for when this is (and is not) the fast path.
-        Falls back to full-frame packing for the whole batch if any frame's
-        window truncated mask pixels."""
+        The no-dropped-votes fallbacks (``_escalate``) apply to the whole
+        batch if any frame trips them."""
         imgs = jax.vmap(labels.normalize_image)(jnp.asarray(images_u8))
         deps = jnp.asarray(depths_mm, jnp.float32)
         batch_fn = frame_pose_fused_batch if self.fused else frame_pose_batch
 
-        def run(full_frame):
+        def run(full_frame, n_points):
             return batch_fn(
                 self.model.apply, self.stacked, imgs, deps, self.k,
                 self.max_radii, self.gt_kpts_mm,
                 sem_threshold=self.cfg.sem_threshold,
-                n_points=self.cfg.max_points, grid_l=self.cfg.vote_grid_l,
+                n_points=n_points, grid_l=self.cfg.vote_grid_l,
                 mode=self.cfg.vote_mode, full_frame=full_frame)
 
-        result = run(False)
-        if bool(np.asarray(result["cropped"]).any()):
-            result = run(True)
-        return result
+        return self._escalate(run, int(np.prod(np.shape(depths_mm)[1:])))
 
     def refine(self, result, threshold_mm, icp_iters=None):
         """Optional ICP refinement of the fitted pose: align the CAD model

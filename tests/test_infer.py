@@ -92,6 +92,47 @@ def test_cropped_fallback_repacks_full_frame(rng, monkeypatch, tiny_net):
         assert out["rt"].shape == (4, 4)
 
 
+def test_escalate_grows_budget_and_window():
+    """_escalate: cropped -> full-frame re-run; budget_exceeded -> n_points
+    doubles (power of two) until the union fits, capped at the frame size."""
+    est = infer.PoseEstimator.__new__(infer.PoseEstimator)
+    est.cfg = Config(max_points=512)
+    calls = []
+    script = iter([
+        {"cropped": True, "budget_exceeded": True, "union_count": 1500},
+        {"cropped": False, "budget_exceeded": True, "union_count": 99999},
+        {"cropped": False, "budget_exceeded": True, "union_count": 99999},
+    ])
+
+    def run(full, n_points):
+        calls.append((full, n_points))
+        return {k: np.asarray(v) for k, v in next(script).items()}
+
+    out = est._escalate(run, image_pixels=4096)
+    # 512 -> cropped + union 1500 -> full frame @2048 -> union huge ->
+    # capped at the 4096 frame pixels -> still over budget but at the cap,
+    # so the loop must terminate and return the best effort
+    assert calls == [(False, 512), (True, 2048), (True, 4096)]
+    assert bool(out["budget_exceeded"])
+
+
+def test_estimate_reports_budget_flags(rng, tiny_net):
+    """The serving result surfaces the no-silent-drop flags."""
+    cfg, model, vs = tiny_net
+    est = infer.PoseEstimator(
+        cfg, vs, keypoints=rng.normal(size=(9, 3)) * 0.05,
+        max_radii_dm=[3.0, 3.0, 3.0])
+    est.model = model
+    img = (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+    depth = np.zeros((64, 64), np.float32)
+    depth[20:44, 20:44] = 700.0
+    out = est.estimate(img, depth)
+    assert "budget_exceeded" in out and "union_count" in out
+    # after escalation, either the union fits or the budget hit frame size
+    assert (not bool(np.asarray(out["budget_exceeded"]))
+            or int(np.asarray(out["union_count"])) >= 64 * 64)
+
+
 def test_estimate_batch_matches_single(rng, tiny_net):
     """The batched serving path must agree with per-frame estimate()."""
     cfg, model, vs = tiny_net
