@@ -217,8 +217,22 @@ def export_torch_state_dict(variables, template_keys):
         try:
             for p in path:
                 node = node[p]
-        except KeyError:  # dead reference param (unused projection shortcut)
-            continue
+        except KeyError:
+            # Only the known-dead reference params may be absent: the
+            # reference Bottleneck always allocates 'upsample_' projection
+            # weights but non-projecting blocks never use them
+            # (/root/reference/models/fcnresnet.py:16-18, 35-36). Any other
+            # unresolved key means the Flax variables come from a mismatched
+            # architecture (width-scaled, shallow blocks, kpt_heads > 1) —
+            # fail loudly instead of emitting a partial state dict that
+            # load_state_dict(strict=False) would silently accept.
+            if "upsample_" in key:
+                continue
+            raise KeyError(
+                f"torch key {key!r} (flax path {col}/{'/'.join(path)}) has "
+                "no counterpart in the given variables — the architecture "
+                "does not match the reference model (check model_blocks/"
+                "model_width/kpt_heads)")
         arr = np.asarray(node)
         if path[-1] == "kernel":
             arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> torch OIHW

@@ -86,10 +86,9 @@ def test_res_fcn_torch_parity_64(ref_models):
     _forward_parity(tm, ResFCNResNet152(double_up1=False), (64, 64), seed=1)
 
 
-@pytest.mark.skipif(not os.environ.get("RCVPOSE_FULLRES_PARITY"),
-                    reason="full-res parity is slow on CPU; set "
-                           "RCVPOSE_FULLRES_PARITY=1 to run")
 def test_dense_fcn_torch_parity_480x640(ref_models):
+    # ~30 s on the single-core CI box — the slowest test in the suite, kept
+    # on because it is the only full-LINEMOD-resolution parity proof
     torch.manual_seed(2)
     tm = ref_models.DenseFCNResNet152(3, 2).eval()
     # wider tolerance: 18.75x more pixels accumulate more f32 reassociation
@@ -131,3 +130,18 @@ def test_export_round_trip_and_torch_load(ref_models):
         a = tm(x)[1].numpy()
         b = tm2(x)[1].numpy()
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_export_mismatched_architecture_fails_loudly(ref_models):
+    """Exporting variables from a non-reference architecture (shallow
+    blocks) must raise, not silently emit a partial state dict that
+    load_state_dict(strict=False) would accept with random weights."""
+    from rcvpose_tpu.checkpoint import export_torch_state_dict
+
+    torch.manual_seed(4)
+    tm = ref_models.DenseFCNResNet152(3, 2).eval()
+    shallow = DenseFCNResNet152(blocks=(1, 1, 1, 1))
+    variables = shallow.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+    with pytest.raises(KeyError, match="architecture"):
+        export_torch_state_dict(variables, tm.state_dict().keys())
