@@ -102,6 +102,15 @@ def config_from_args(argv=None):
     return cfg
 
 
+def _mesh_size_for_batch(batch_size, n_devices):
+    """Largest divisor of the (global) batch that fits the device count —
+    a batch of 6 on 8 devices gets a 6-device mesh, not gcd's 2."""
+    for d in range(min(max(batch_size, 1), max(n_devices, 1)), 0, -1):
+        if batch_size % d == 0:
+            return d
+    return 1
+
+
 def run_train(cfg):
     import jax
 
@@ -119,10 +128,14 @@ def run_train(cfg):
 
     train_loader, val_loader = make_loaders(cfg)
     steps_per_epoch = max(len(train_loader), 1)
-    # mesh size must divide the batch; auto-fit unless pinned by config
-    # (e.g. batch_size 2 on an 8-device host -> 2-device mesh)
-    n_dev = cfg.mesh_data_axis or math.gcd(cfg.batch_size,
-                                           jax.local_device_count())
+    # Mesh sizing: the mesh spans GLOBAL devices (a multi-host run after
+    # maybe_init_distributed sees every host's chips); cfg.batch_size is the
+    # PER-HOST batch, so the global batch is batch_size * process_count and
+    # the mesh must divide it. Auto-fit picks the largest divisor <= device
+    # count (e.g. batch 6 on 8 devices -> 6-device mesh, not gcd's 2).
+    global_batch = cfg.batch_size * jax.process_count()
+    n_dev = cfg.mesh_data_axis or _mesh_size_for_batch(global_batch,
+                                                       jax.device_count())
     mesh = parallel.data_mesh(max(n_dev, 1))
     state = train.create_state(cfg, jax.random.PRNGKey(cfg.seed),
                                steps_per_epoch=steps_per_epoch)
@@ -131,8 +144,11 @@ def run_train(cfg):
         cfg=cfg, state=state, mesh=mesh,
         train_batches=lambda epoch: iter(train_loader),
         val_batches=lambda: iter(val_loader),
-        checkpointer=ckpt, writer=writer)
+        checkpointer=ckpt, writer=writer,
+        steps_per_epoch=steps_per_epoch)
     if cfg.resume_train:
+        # the reference resumes from model_best (train.py:46); the restored
+        # iteration drives fit()'s epoch placement + in-epoch fast-forward
         state, epoch, iteration, best = ckpt.restore(state, best=True)
         trainer.state, trainer.iteration, trainer.best_val = \
             state, iteration, best

@@ -39,26 +39,45 @@ def replicated(mesh):
 
 
 def shard_batch(mesh, batch):
-    """Place a host batch pytree with the leading axis sharded over 'data'."""
+    """Place a host batch pytree with the leading axis sharded over 'data'.
+
+    Single-process: a plain device_put. Multi-host (after
+    ``jax.distributed.initialize``): each process passes its PER-HOST batch
+    and the pieces are assembled into one global array whose leading axis is
+    the global batch (``jax.make_array_from_process_local_data`` — a
+    device_put to a global sharding cannot address other hosts' chips).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def sharded_frame_pose(mesh, apply_fn, variables, images_norm, depths_mm, k,
-                       max_radii_dm, gt_kpts_mm, **kw):
+                       max_radii_dm, gt_kpts_mm, fused=None, **kw):
     """Data-parallel EVALUATION: a batch of frames sharded over the mesh,
     each device running the whole fused frame program (net -> vote -> Horn)
     on its shard; weights replicated. The eval-side mirror of the DP train
     step — throughput scales with chips for offline dataset sweeps. Batch
     size must be a multiple of the mesh size. Returns the batched frame
     dict with every leaf sharded on the leading axis.
+
+    ``variables``: a tuple/list of 3 per-keypoint trees (3-net mode) or a
+    single multi-head tree (fused mode). The container type picks the path
+    when ``fused`` is None, so a *stacked* 3-net pytree (leading axis 3 from
+    ``infer.stack_variables`` — a dict, not a tuple) would misroute into the
+    fused net; pass ``fused=False`` explicitly for that form (the stacked
+    params are then sliced per net, like ``infer._frame_pose`` does).
     """
     from rcvpose_tpu import infer
 
     bsh = batch_sharding(mesh)
     repl = replicated(mesh)
-    base = (infer._frame_pose_fused if _is_fused(variables)
-            else infer._frame_pose)
+    if fused is None:
+        fused = _is_fused(variables)
+    base = infer._frame_pose_fused if fused else infer._frame_pose
 
     def one(vars_, img, dep, k, mr, gk):
         return base(apply_fn, vars_, img, dep, k, mr, gk, **kw)

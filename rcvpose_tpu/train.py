@@ -191,6 +191,7 @@ class Trainer:
     best_val: float = float("inf")
     iteration: int = 0
     steps: Any = None           # optional precompiled (train, eval) pjit pair
+    steps_per_epoch: int = 0    # enables mid-epoch resume fast-forward
 
     def __post_init__(self):
         self._train_step, self._eval_step = (
@@ -198,7 +199,17 @@ class Trainer:
             else make_parallel_steps(self.mesh))
 
     def train_epoch(self, epoch):
+        # Mid-epoch resume: skip the batches this epoch already consumed
+        # before the checkpoint (the reference's fast-forward intent,
+        # /root/reference/train.py:142-143 — minus its off-by-one, which
+        # skips one extra batch and permanently drops batch 1 of a fresh
+        # epoch 0). Requires steps_per_epoch; 0 disables (epoch restart).
+        skip = (max(0, self.iteration - epoch * self.steps_per_epoch)
+                if self.steps_per_epoch else 0)
         for batch in self.train_batches(epoch):
+            if skip > 0:
+                skip -= 1
+                continue
             batch = parallel.shard_batch(self.mesh, batch)
             self.state, m = self._train_step(self.state, batch)
             self.iteration += 1
@@ -254,7 +265,11 @@ class Trainer:
         return mean_loss
 
     def fit(self, max_epochs):
-        for epoch in range(max_epochs):
+        # resume lands in the epoch the checkpointed iteration belongs to;
+        # train_epoch then fast-forwards within it
+        start = (self.iteration // self.steps_per_epoch
+                 if self.steps_per_epoch else 0)
+        for epoch in range(start, max_epochs):
             self.train_epoch(epoch)
             self.validate(epoch)
             if self.iteration >= self.cfg.max_iterations:

@@ -167,3 +167,36 @@ def test_nan_loss_raises(rng, mesh_env):
         trainer.train_epoch(0)
     with pytest.raises(ValueError, match="nan while validating"):
         trainer.validate(0)
+
+
+def test_resume_fast_forwards_mid_epoch(rng, tmp_path, mesh_env):
+    """Resume at iteration 6 with 4 steps/epoch must land in epoch 1 and
+    skip its first 2 batches — not replay them (reference fast-forward
+    intent, /root/reference/train.py:142-143, without its off-by-one)."""
+    cfg, mesh, state, p_train, p_eval = mesh_env
+    cfg = dataclasses.replace(cfg, max_iterations=8)
+    consumed = []  # (epoch, batch_idx) actually trained on
+
+    def train_batches(epoch):
+        for i in range(4):
+            consumed.append((epoch, i))
+            yield synth_batch(rng, b=2)
+        # record yields happen lazily; the skip must consume from the
+        # iterator without training
+
+    trained = []
+
+    class SpyStep:
+        def __call__(self, s, batch):
+            trained.append(consumed[-1])
+            return p_train(s, batch)
+
+    trainer = train.Trainer(
+        cfg=cfg, state=copy_state(state), mesh=mesh,
+        train_batches=train_batches, val_batches=lambda: iter(()),
+        steps=(SpyStep(), p_eval), steps_per_epoch=4, iteration=6)
+    trainer.fit(max_epochs=2)
+    # epoch 0 skipped entirely; epoch 1 batches 0,1 fast-forwarded (they
+    # are consumed from the loader but not trained), 2,3 trained
+    assert trained == [(1, 2), (1, 3)]
+    assert trainer.iteration == 8
