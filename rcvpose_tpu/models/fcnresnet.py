@@ -114,8 +114,15 @@ class MMConv(nn.Module):
                           jnp.float32)
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
+        # Accumulate the K*K shifted contributions in float32
+        # (preferred_element_type): conv_general_dilated accumulates its
+        # whole receptive field in f32 before one bf16 rounding, so bf16
+        # rounding of each partial sum here would add up to K*K-1 extra
+        # roundings vs nn.Conv. The MXU accumulates f32 natively — this
+        # costs nothing on the matmul; only the adds carry wider values.
         if ks == 1:
-            out = jnp.einsum("bhwc,cd->bhwd", x, kernel[0, 0])
+            out = jnp.einsum("bhwc,cd->bhwd", x, kernel[0, 0],
+                             preferred_element_type=jnp.float32)
         else:
             p = ks // 2
             b, h, w, _ = x.shape
@@ -125,9 +132,10 @@ class MMConv(nn.Module):
                 for dx in range(ks):
                     contrib = jnp.einsum(
                         "bhwc,cd->bhwd", xp[:, dy:dy + h, dx:dx + w, :],
-                        kernel[dy, dx])
+                        kernel[dy, dx],
+                        preferred_element_type=jnp.float32)
                     out = contrib if out is None else out + contrib
-        return out + bias.astype(self.dtype)
+        return (out + bias.astype(jnp.float32)).astype(self.dtype)
 
 
 def _conv_bn_relu(x, features, train, dtype, name, mm=False):

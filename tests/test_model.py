@@ -108,3 +108,29 @@ def test_multihead_split_matches_single(small_input):
                                   np.asarray(out[..., 0]))
     np.testing.assert_array_equal(np.asarray(radial[..., 0]),
                                   np.asarray(out[..., 1]))
+
+
+def test_mmconv_matches_nn_conv_f32_and_bf16():
+    """MMConv == nn.Conv on identical params. In bf16 the shifted-matmul
+    contributions accumulate in f32 (preferred_element_type), so the result
+    stays within one bf16 rounding of the f32 oracle — the same guarantee
+    conv_general_dilated gives."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from rcvpose_tpu.models.fcnresnet import MMConv
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 16)).astype(np.float32))
+    ref_conv = nn.Conv(12, (3, 3), padding=1, dtype=jnp.float32)
+    ref_vars = ref_conv.init(jax.random.PRNGKey(0), x)
+    oracle = np.asarray(ref_conv.apply(ref_vars, x))
+
+    f32 = MMConv(12, 3, dtype=jnp.float32).apply(ref_vars, x)
+    np.testing.assert_allclose(np.asarray(f32), oracle, atol=2e-5)
+
+    bf16 = MMConv(12, 3, dtype=jnp.bfloat16).apply(ref_vars, x)
+    # one bf16 output rounding (~2^-8 relative) + f32-accumulated interior
+    tol = 1.2 * np.abs(oracle).max() * 2.0 ** -8
+    np.testing.assert_allclose(np.asarray(bf16, np.float32), oracle,
+                               atol=float(tol))
