@@ -246,8 +246,10 @@ def _prepare(xyz_m, radial_dm, point_mask):
 # Public accumulator
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("grid_l", "mode"))
-def accumulate_3d(xyz_m, radial_dm, point_mask, grid_l=192, mode="hier"):
+@partial(jax.jit,
+         static_argnames=("grid_l", "mode", "topk", "cpt_stride"))
+def accumulate_3d(xyz_m, radial_dm, point_mask, grid_l=192, mode="hier",
+                  topk=None, cpt_stride=None):
     """Point cloud (m) + radial predictions (dm) -> keypoint estimate (mm).
 
     Args:
@@ -257,6 +259,8 @@ def accumulate_3d(xyz_m, radial_dm, point_mask, grid_l=192, mode="hier"):
       grid_l: static cube side (the reference's dynamic side is
         ``length + int(r_max)``; ``overflow`` reports if it exceeds grid_l).
       mode: 'exact' or 'hier'.
+      topk/cpt_stride: hier-mode robustness/speed knobs (None = module
+        defaults _TOPK/_CPT_STRIDE); see _accumulate_hier.
     """
     pts, radii_round, means, shift, bound = _prepare(
         xyz_m, radial_dm, point_mask)
@@ -265,7 +269,9 @@ def accumulate_3d(xyz_m, radial_dm, point_mask, grid_l=192, mode="hier"):
                                  means, shift, bound)
     elif mode == "hier":
         return _accumulate_hier(pts, radii_round, point_mask, grid_l,
-                                means, shift, bound)
+                                means, shift, bound,
+                                topk=topk or _TOPK,
+                                cpt_stride=cpt_stride or _CPT_STRIDE)
     raise ValueError(f"unknown accumulator mode: {mode}")
 
 
@@ -299,8 +305,14 @@ _CPT_STRIDE = 4  # coarse stage samples every k-th point (refine uses all)
 
 
 def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
-                     bound):
-    """Coarse-to-fine accumulation; same millimeter decode frame as exact."""
+                     bound, topk=_TOPK, cpt_stride=_CPT_STRIDE):
+    """Coarse-to-fine accumulation; same millimeter decode frame as exact.
+
+    ``topk`` (refine windows) and ``cpt_stride`` (coarse-stage point
+    subsample) trade robustness on multi-modal vote landscapes against
+    work; defaults validated on single- AND cluttered-scene synthetic
+    suites (scripts/hier_exact_agreement.py, table in PERF.md).
+    """
     lc = grid_l // _COARSE
     cc = jnp.arange(lc, dtype=jnp.float32)
     ci, cj, ck = jnp.meshgrid(cc, cc, cc, indexing="ij")
@@ -321,15 +333,15 @@ def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
     # point, so the final peak/count semantics are unchanged. Validated by
     # scripts/hier_exact_agreement.py (identical keypoints on 120/120
     # synthetic frames, with and without 5 mm radial noise).
-    cvotes = vote_counts(coarse_vox, pts[::_CPT_STRIDE],
-                         lo_c[::_CPT_STRIDE], hi_c[::_CPT_STRIDE])
+    cvotes = vote_counts(coarse_vox, pts[::cpt_stride],
+                         lo_c[::cpt_stride], hi_c[::cpt_stride])
 
     cb = jnp.ceil(bound / _COARSE)
     cin = cc < cb
     cvalid = ((cin[:, None, None] & cin[None, :, None])
               & cin[None, None, :]).reshape(-1)
     cvotes = jnp.where(cvalid, cvotes, -1.0)
-    _, top_idx = jax.lax.top_k(cvotes, _TOPK)
+    _, top_idx = jax.lax.top_k(cvotes, topk)
 
     # Dense fine windows around each coarse peak, evaluated in one batch.
     def window_base(cidx):
@@ -347,7 +359,7 @@ def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
     lo_f, hi_f = exact_band(radii_round, point_mask)
     fvotes = vote_counts(win_vox, pts, lo_f, hi_f)
     fvalid = jnp.all(win_vox < bound, axis=1)
-    fvotes = jnp.where(fvalid, fvotes, -1.0).reshape(_TOPK, -1)
+    fvotes = jnp.where(fvalid, fvotes, -1.0).reshape(topk, -1)
 
     best_per = jnp.max(fvotes, axis=1)
     kbest = jnp.argmax(best_per)

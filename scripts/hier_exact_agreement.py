@@ -3,11 +3,27 @@
 The hier mode trades reference-equivalent per-voxel vote parity for ~10x
 less work (BENCH: 6.9 ms vs 68 ms per keypoint at grid 128, 8192 pts).
 This script quantifies the thing that matters — does hier pick the same
-keypoint? — over N random synthetic frames: surface-patch clouds with
-perfect radial labels plus optional radial noise.
+keypoint as the exact (reference-semantics) mode? — over N random frames.
 
-Usage: python scripts/hier_exact_agreement.py [n_frames] [grid_l]
-Prints one JSON line with agreement stats.
+Two scene generators:
+  single     clean surface patch + perfect radial labels (+5 mm noise on
+             half the frames) — the easy regime.
+  cluttered  the LMO regime the top-K ranking can actually miss: a
+             half-plane-occluded object patch, 1-2 distractor blobs whose
+             radial labels vote for their OWN (wrong) keypoints (competing
+             basins, like sem false positives), plus a fraction of
+             large-outlier radii.
+
+Agreement is measured against the exact mode per frame: whatever the
+reference landscape's argmax is, hier must reproduce it — exact IS the
+ground truth here, even when clutter fools both.
+
+Usage:
+  python scripts/hier_exact_agreement.py [n_frames] [grid_l]
+  python scripts/hier_exact_agreement.py [n_frames] [grid_l] --scene cluttered
+  python scripts/hier_exact_agreement.py [n_frames] [grid_l] --sweep
+      # sweeps hier knobs topk x cpt_stride over both scene types,
+      # one JSON line per config (the PERF.md agreement table)
 """
 
 import json
@@ -23,19 +39,23 @@ import numpy as np  # noqa: E402
 from rcvpose_tpu.ops import voting  # noqa: E402
 
 
-def synth_frame(rng, n_points=8192, noise_dm=0.0):
-    """Random camera-frame surface patch + keypoint + radial labels (dm)."""
-    # patch: points on a random smooth surface region ~10-20 cm across
-    center = rng.uniform([-0.1, -0.1, 0.6], [0.1, 0.1, 1.0])
-    u = rng.uniform(-1, 1, size=(n_points, 2)) * rng.uniform(0.02, 0.05)
+def _patch(rng, n, center, extent_scale=1.0, roughness=0.003):
+    """Points on a random rough surface patch around ``center``."""
+    u = rng.uniform(-1, 1, size=(n, 2)) * rng.uniform(0.02, 0.05) \
+        * extent_scale
     normal = rng.normal(size=3)
     normal /= np.linalg.norm(normal)
     b1 = np.cross(normal, [1.0, 0, 0])
     b1 /= np.linalg.norm(b1) + 1e-9
     b2 = np.cross(normal, b1)
-    bump = rng.normal(size=(n_points,)) * 0.003  # 3 mm surface roughness
-    pts = (center + u[:, :1] * b1 + u[:, 1:] * b2
-           + bump[:, None] * normal)
+    bump = rng.normal(size=(n,)) * roughness
+    return center + u[:, :1] * b1 + u[:, 1:] * b2 + bump[:, None] * normal
+
+
+def synth_frame(rng, n_points=8192, noise_dm=0.0):
+    """Single clean patch + keypoint + radial labels (dm)."""
+    center = rng.uniform([-0.1, -0.1, 0.6], [0.1, 0.1, 1.0])
+    pts = _patch(rng, n_points, center)
     kpt = center + rng.uniform(-0.06, 0.06, size=3)  # LINEMOD-like offsets
     radial_dm = np.linalg.norm(pts - kpt, axis=1) * 10.0
     if noise_dm:
@@ -46,20 +66,67 @@ def synth_frame(rng, n_points=8192, noise_dm=0.0):
             kpt * 1000.0)
 
 
-def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 120
-    grid_l = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    rng = np.random.default_rng(0)
+def synth_cluttered_frame(rng, n_points=8192, noise_dm=0.05,
+                          outlier_frac=0.05):
+    """Occluded multi-blob scene with competing vote basins.
 
+    ~55% of the budget is the true object, cut by a random half-plane
+    (occlusion); the rest is 1-2 distractor blobs whose labels vote toward
+    their own keypoints; ``outlier_frac`` of ALL radii get +-2 dm junk.
+    """
+    center = rng.uniform([-0.1, -0.1, 0.6], [0.1, 0.1, 1.0])
+    n_obj = int(n_points * 0.55)
+    obj = _patch(rng, 2 * n_obj, center)
+    # occlusion: keep one side of a random half-plane through the center
+    cut_n = rng.normal(size=3)
+    cut_n /= np.linalg.norm(cut_n)
+    keep = (obj - center) @ cut_n > rng.uniform(-0.01, 0.01)
+    obj = obj[keep][:n_obj]
+    kpt = center + rng.uniform(-0.06, 0.06, size=3)
+    parts = [obj]
+    labels = [np.linalg.norm(obj - kpt, axis=1) * 10.0]
+
+    n_rest = n_points - obj.shape[0]
+    n_blobs = int(rng.integers(1, 3))
+    for b in range(n_blobs):
+        nb = n_rest // n_blobs if b < n_blobs - 1 else \
+            n_rest - (n_rest // n_blobs) * (n_blobs - 1)
+        d_center = center + rng.uniform(-0.12, 0.12, size=3)
+        blob = _patch(rng, nb, d_center, extent_scale=rng.uniform(0.5, 1.2))
+        d_kpt = d_center + rng.uniform(-0.06, 0.06, size=3)
+        parts.append(blob)
+        labels.append(np.linalg.norm(blob - d_kpt, axis=1) * 10.0)
+
+    pts = np.concatenate(parts)[:n_points]
+    radial_dm = np.concatenate(labels)[:n_points]
+    if noise_dm:
+        radial_dm = radial_dm + rng.normal(size=pts.shape[0]) * noise_dm
+    if outlier_frac:
+        n_out = int(pts.shape[0] * outlier_frac)
+        idx = rng.choice(pts.shape[0], n_out, replace=False)
+        radial_dm[idx] += rng.uniform(-2.0, 2.0, size=n_out)
+    radial_dm = np.maximum(radial_dm, 0.0)
+    mask = np.ones(pts.shape[0], bool)
+    return (jnp.asarray(pts, jnp.float32),
+            jnp.asarray(radial_dm, jnp.float32), jnp.asarray(mask),
+            kpt * 1000.0)
+
+
+def run_suite(n_frames, grid_l, scene, topk=None, cpt_stride=None, seed=0):
+    rng = np.random.default_rng(seed)
     agree_voxel = 0
     dists = []
     err_ex, err_hi = [], []
     overflowed = 0
     for i in range(n_frames):
-        noise = 0.0 if i % 2 == 0 else 0.05  # half the frames: 5 mm noise
-        pts, rad, mask, kpt_mm = synth_frame(rng, noise_dm=noise)
+        if scene == "cluttered":
+            pts, rad, mask, kpt_mm = synth_cluttered_frame(rng)
+        else:
+            noise = 0.0 if i % 2 == 0 else 0.05  # half the frames: 5 mm noise
+            pts, rad, mask, kpt_mm = synth_frame(rng, noise_dm=noise)
         ex = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode="exact")
-        hi = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode="hier")
+        hi = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode="hier",
+                                  topk=topk, cpt_stride=cpt_stride)
         if bool(ex.overflow):
             overflowed += 1
             continue
@@ -72,9 +139,12 @@ def main():
         err_hi.append(float(np.linalg.norm(ch - kpt_mm)))
 
     dists = np.asarray(dists)
-    print(json.dumps({
+    return {
         "frames": len(dists),
         "grid_l": grid_l,
+        "scene": scene,
+        "topk": topk or voting._TOPK,
+        "cpt_stride": cpt_stride or voting._CPT_STRIDE,
         "agree_within_1_voxel": round(float(agree_voxel / len(dists)), 4),
         "center_dist_mm_mean": round(float(dists.mean()), 3),
         "center_dist_mm_p95": round(float(np.percentile(dists, 95)), 3),
@@ -82,7 +152,29 @@ def main():
         "kpt_err_mm_exact_mean": round(float(np.mean(err_ex)), 3),
         "kpt_err_mm_hier_mean": round(float(np.mean(err_hi)), 3),
         "overflowed": overflowed,
-    }))
+    }
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_frames = int(args[0]) if args else 120
+    grid_l = int(args[1]) if len(args) > 1 else 128
+    scene = "single"
+    if "--scene" in sys.argv:
+        scene = sys.argv[sys.argv.index("--scene") + 1]
+
+    if "--sweep" in sys.argv:
+        for sc in ("single", "cluttered"):
+            for topk in (2, 4, 8):
+                for stride in (1, 4, 8):
+                    print(json.dumps(run_suite(n_frames, grid_l, sc,
+                                               topk=topk, cpt_stride=stride)),
+                          flush=True)
+        return
+
+    scenes = ("single", "cluttered") if scene == "both" else (scene,)
+    for sc in scenes:
+        print(json.dumps(run_suite(n_frames, grid_l, sc)), flush=True)
 
 
 if __name__ == "__main__":
