@@ -112,7 +112,8 @@ def synth_cluttered_frame(rng, n_points=8192, noise_dm=0.05,
             kpt * 1000.0)
 
 
-def run_suite(n_frames, grid_l, scene, topk=None, cpt_stride=None, seed=0):
+def run_suite(n_frames, grid_l, scene, topk=None, cpt_stride=None, seed=0,
+              n_points=8192):
     rng = np.random.default_rng(seed)
     agree_voxel = 0
     dists = []
@@ -120,10 +121,12 @@ def run_suite(n_frames, grid_l, scene, topk=None, cpt_stride=None, seed=0):
     overflowed = 0
     for i in range(n_frames):
         if scene == "cluttered":
-            pts, rad, mask, kpt_mm = synth_cluttered_frame(rng)
+            pts, rad, mask, kpt_mm = synth_cluttered_frame(
+                rng, n_points=n_points)
         else:
             noise = 0.0 if i % 2 == 0 else 0.05  # half the frames: 5 mm noise
-            pts, rad, mask, kpt_mm = synth_frame(rng, noise_dm=noise)
+            pts, rad, mask, kpt_mm = synth_frame(rng, n_points=n_points,
+                                                 noise_dm=noise)
         ex = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode="exact")
         hi = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode="hier",
                                   topk=topk, cpt_stride=cpt_stride)
@@ -138,6 +141,10 @@ def run_suite(n_frames, grid_l, scene, topk=None, cpt_stride=None, seed=0):
         err_ex.append(float(np.linalg.norm(ce - kpt_mm)))
         err_hi.append(float(np.linalg.norm(ch - kpt_mm)))
 
+    if not dists:
+        return {"frames": 0, "grid_l": grid_l, "scene": scene,
+                "overflowed": overflowed,
+                "note": "every frame overflowed — grid_l too small"}
     dists = np.asarray(dists)
     return {
         "frames": len(dists),
