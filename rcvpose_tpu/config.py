@@ -51,6 +51,12 @@ class Config:
     vote_grid_l: int = 192
     vote_mode: str = "hier"           # hier | exact
     max_points: int = 8192            # padded point-cloud size for voting
+    vote_topk: Optional[int] = None   # hier refine windows (None = 4).
+    #   Multi-modal vote landscapes (occluded/cluttered scenes, LMO) agree
+    #   with the exact mode more often at 8 (+~1 ms/kpt); sweep table in
+    #   PERF.md. Single-object scenes are insensitive (1.0 agreement at 2).
+    vote_cpt_stride: Optional[int] = None  # hier coarse-stage point
+    #   subsample (None = 4); measured insensitive from 1 to 8
     # --- eval ---
     using_ckpts: bool = True          # net inference vs precomputed radial maps
     eval_classes: str = ""            # comma list; "" = all dataset classes

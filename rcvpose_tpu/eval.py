@@ -64,14 +64,17 @@ YCB_CLASS_NAMES = {
 }
 
 
-@partial(jax.jit, static_argnames=("n_points", "grid_l", "mode"))
+@partial(jax.jit, static_argnames=("n_points", "grid_l", "mode", "topk",
+                                   "cpt_stride"))
 def keypoint_from_maps(sem_map, radial_map, depth_mm, k, max_radius_dm,
-                       sem_threshold, n_points=8192, grid_l=192, mode="hier"):
+                       sem_threshold, n_points=8192, grid_l=192, mode="hier",
+                       topk=None, cpt_stride=None):
     """One keypoint estimate from network output maps + depth.
 
     Mirrors the reference per-keypoint block (AccumulatorSpace.py:602-628):
     sem > threshold, radial clipped above the per-keypoint max radius, depth
-    masked, back-projected to meters, accumulated.
+    masked, back-projected to meters, accumulated. ``topk``/``cpt_stride``
+    tune the hier accumulator (Config.vote_topk / vote_cpt_stride).
     """
     sem = (sem_map > sem_threshold) & (radial_map <= max_radius_dm)
     depth = jnp.where(sem, depth_mm, 0.0)
@@ -84,7 +87,8 @@ def keypoint_from_maps(sem_map, radial_map, depth_mm, k, max_radius_dm,
     order, mask = geometry.pack_valid_indices(flat_valid, n_points)
     pts = jnp.where(mask[:, None], flat_xyz[order], 0.0)
     rad = jnp.where(mask, flat_rad[order], 0.0)
-    res = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode=mode)
+    res = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode=mode,
+                               topk=topk, cpt_stride=cpt_stride)
     count = jnp.sum(valid.astype(jnp.int32))
     return res.center_mm, res.overflow, count, pts * 1000.0, mask
 
@@ -116,13 +120,14 @@ def keypoint_with_retry(cfg, sem_map, radial_map, depth_j, k, max_r,
     """keypoint_from_maps + host-side fallback to a larger grid when the
     frame's dynamic extent overflows the class-sized cube (mask-noise
     outliers can stretch the cloud beyond the reference's usual grid)."""
-    out = keypoint_from_maps(
-        sem_map, radial_map, depth_j, k, max_r, sem_threshold,
-        n_points=cfg.max_points, grid_l=cfg.vote_grid_l, mode=cfg.vote_mode)
+    kn = dict(n_points=cfg.max_points, mode=cfg.vote_mode,
+              topk=getattr(cfg, "vote_topk", None),
+              cpt_stride=getattr(cfg, "vote_cpt_stride", None))
+    out = keypoint_from_maps(sem_map, radial_map, depth_j, k, max_r,
+                             sem_threshold, grid_l=cfg.vote_grid_l, **kn)
     if bool(out[1]) and retry_grid_l > cfg.vote_grid_l:
-        out = keypoint_from_maps(
-            sem_map, radial_map, depth_j, k, max_r, sem_threshold,
-            n_points=cfg.max_points, grid_l=retry_grid_l, mode=cfg.vote_mode)
+        out = keypoint_from_maps(sem_map, radial_map, depth_j, k, max_r,
+                                 sem_threshold, grid_l=retry_grid_l, **kn)
     return out
 
 
@@ -591,7 +596,9 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                             jnp.float32(max_radii[kp - 1]),
                             jnp.float32(cfg.sem_threshold),
                             n_points=cfg.max_points, grid_l=cfg.vote_grid_l,
-                            mode=cfg.vote_mode)
+                            mode=cfg.vote_mode,
+                            topk=getattr(cfg, "vote_topk", None),
+                            cpt_stride=getattr(cfg, "vote_cpt_stride", None))
                     est_kpts[kp - 1] = np.asarray(center)
                     scene_parts.append(pts_mm)
                     scene_masks.append(mask)

@@ -59,7 +59,7 @@ def _window_origin(any_rows, any_cols, win_h, win_w):
 
 def _frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
                 gt_kpts_mm, sem_threshold=0.8, n_points=8192, grid_l=192,
-                mode="hier", full_frame=False):
+                mode="hier", full_frame=False, topk=None, cpt_stride=None):
     """Full frame: 3-net forward + 3x vote + Horn, one program.
 
     Args:
@@ -92,13 +92,13 @@ def _frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
     radial_maps = jnp.stack([m[1] for m in maps])  # (3, H, W)
     return _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
                            gt_kpts_mm, sem_threshold, n_points, grid_l,
-                           mode, full_frame)
+                           mode, full_frame, topk, cpt_stride)
 
 
 def _frame_pose_fused(apply_fn, variables, image_norm, depth_mm, k,
                       max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                       n_points=8192, grid_l=192, mode="hier",
-                      full_frame=False):
+                      full_frame=False, topk=None, cpt_stride=None):
     """Fused multi-head frame: ONE net forward (kpt_heads output pairs)
     replaces the reference's three per-keypoint networks — the TPU-first
     serving extension (config ``kpt_heads=3``). Voting/fit identical to
@@ -108,12 +108,12 @@ def _frame_pose_fused(apply_fn, variables, image_norm, depth_mm, k,
     radial_maps = jnp.moveaxis(radial[0], -1, 0)  # (K, H, W)
     return _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
                            gt_kpts_mm, sem_threshold, n_points, grid_l,
-                           mode, full_frame)
+                           mode, full_frame, topk, cpt_stride)
 
 
 def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
                     gt_kpts_mm, sem_threshold, n_points, grid_l, mode,
-                    full_frame):
+                    full_frame, topk=None, cpt_stride=None):
     """(K, H, W) sem + radial maps -> pose dict (shared by the 3-net and
     fused paths)."""
     # Crop a fixed window around the union of the three sem masks before
@@ -163,7 +163,8 @@ def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
         valid = semw.reshape(-1)[order] & umask & (flat_union[order])
         rad = jnp.where(valid, radw.reshape(-1)[order], 0.0)
         n_valid = jnp.sum((semw & (depw > 0)).astype(jnp.int32))
-        res = voting.accumulate_3d(pts, rad, valid, grid_l=grid_l, mode=mode)
+        res = voting.accumulate_3d(pts, rad, valid, grid_l=grid_l, mode=mode,
+                                   topk=topk, cpt_stride=cpt_stride)
         return res.center_mm, res.overflow, n_valid, pts * 1000.0, valid
 
     # vmapped over the 3 keypoints: the three vote kernels batch into one
@@ -180,7 +181,7 @@ def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
 
 
 _STATIC = ("apply_fn", "n_points", "grid_l", "mode", "sem_threshold",
-           "full_frame")
+           "full_frame", "topk", "cpt_stride")
 
 frame_pose = partial(jax.jit, static_argnames=_STATIC)(_frame_pose)
 frame_pose_fused = partial(jax.jit, static_argnames=_STATIC)(
@@ -189,7 +190,8 @@ frame_pose_fused = partial(jax.jit, static_argnames=_STATIC)(
 
 def _scan_pose_from_maps(sem_maps_b, radial_maps_b, depths_mm, k,
                          max_radii_dm, gt_kpts_mm, sem_threshold, n_points,
-                         grid_l, mode, full_frame):
+                         grid_l, mode, full_frame, topk=None,
+                         cpt_stride=None):
     """(B, K, H, W) maps -> batched pose dicts via ``lax.scan`` over frames.
 
     scan (not vmap) on purpose: inside a scan body the windowed packing's
@@ -204,7 +206,7 @@ def _scan_pose_from_maps(sem_maps_b, radial_maps_b, depths_mm, k,
         sems, rads, dep = inp
         out = _pose_from_maps(sems, rads, dep, k, max_radii_dm, gt_kpts_mm,
                               sem_threshold, n_points, grid_l, mode,
-                              full_frame)
+                              full_frame, topk, cpt_stride)
         return carry, out
 
     _, outs = jax.lax.scan(body, 0, (sem_maps_b, radial_maps_b, depths_mm))
@@ -215,7 +217,7 @@ def _scan_pose_from_maps(sem_maps_b, radial_maps_b, depths_mm, k,
 def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
                      max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                      n_points=8192, grid_l=192, mode="hier",
-                     full_frame=False):
+                     full_frame=False, topk=None, cpt_stride=None):
     """Batched ``frame_pose``: (B, H, W, 3) images + (B, H, W) depths.
 
     Each of the three per-keypoint nets forwards the WHOLE batch (B images
@@ -233,14 +235,15 @@ def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
     radial_maps_b = jnp.stack([m[1][..., 0] for m in maps], axis=1)
     return _scan_pose_from_maps(sem_maps_b, radial_maps_b, depths_mm, k,
                                 max_radii_dm, gt_kpts_mm, sem_threshold,
-                                n_points, grid_l, mode, full_frame)
+                                n_points, grid_l, mode, full_frame, topk,
+                                cpt_stride)
 
 
 @partial(jax.jit, static_argnames=_STATIC)
 def frame_pose_fused_batch(apply_fn, variables, images_norm, depths_mm, k,
                            max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                            n_points=8192, grid_l=192, mode="hier",
-                           full_frame=False):
+                           full_frame=False, topk=None, cpt_stride=None):
     """Batched fused-path frames: ONE multi-head forward over the whole
     batch, then the per-frame scan (see ``frame_pose_batch``)."""
     seg, radial = apply_fn(variables, images_norm, False)  # (B, H, W, K)
@@ -248,7 +251,8 @@ def frame_pose_fused_batch(apply_fn, variables, images_norm, depths_mm, k,
     radial_maps_b = jnp.moveaxis(radial, -1, 1)
     return _scan_pose_from_maps(sem_maps_b, radial_maps_b, depths_mm, k,
                                 max_radii_dm, gt_kpts_mm, sem_threshold,
-                                n_points, grid_l, mode, full_frame)
+                                n_points, grid_l, mode, full_frame, topk,
+                                cpt_stride)
 
 
 class PoseEstimator:
@@ -328,7 +332,9 @@ class PoseEstimator:
                 jnp.asarray(depth_mm, jnp.float32), self.k, self.max_radii,
                 self.gt_kpts_mm, sem_threshold=self.cfg.sem_threshold,
                 n_points=n_points, grid_l=self.cfg.vote_grid_l,
-                mode=self.cfg.vote_mode, full_frame=full_frame)
+                mode=self.cfg.vote_mode, full_frame=full_frame,
+                topk=getattr(self.cfg, "vote_topk", None),
+                cpt_stride=getattr(self.cfg, "vote_cpt_stride", None))
 
         return self._escalate(run, int(np.prod(np.shape(depth_mm))))
 
@@ -348,7 +354,9 @@ class PoseEstimator:
                 self.max_radii, self.gt_kpts_mm,
                 sem_threshold=self.cfg.sem_threshold,
                 n_points=n_points, grid_l=self.cfg.vote_grid_l,
-                mode=self.cfg.vote_mode, full_frame=full_frame)
+                mode=self.cfg.vote_mode, full_frame=full_frame,
+                topk=getattr(self.cfg, "vote_topk", None),
+                cpt_stride=getattr(self.cfg, "vote_cpt_stride", None))
 
         return self._escalate(run, int(np.prod(np.shape(depths_mm)[1:])))
 

@@ -143,3 +143,28 @@ def test_suggest_grid_l():
     assert voting.suggest_grid_l(0.26, 3.2) >= 192
     assert voting.suggest_grid_l(0.01, 0.1) == 64   # floor
     assert voting.suggest_grid_l(10.0, 10.0) == 256  # cap
+
+
+def test_hier_topk_stride_knobs(rng):
+    """vote_topk / vote_cpt_stride knobs compile and agree with defaults on
+    an easy single-blob scene (robustness differences only show on
+    multi-modal landscapes — scripts/hier_exact_agreement.py --sweep)."""
+    import jax.numpy as jnp
+
+    from rcvpose_tpu.ops import voting
+
+    n = 512
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts = dirs * 0.03 + np.array([0.0, 0.0, 0.7])
+    kpt = np.array([0.05, 0.02, 0.72])
+    rad = np.linalg.norm(pts - kpt, axis=1) * 10.0
+    mask = np.ones(n, bool)
+    args = (jnp.asarray(pts, jnp.float32), jnp.asarray(rad, jnp.float32),
+            jnp.asarray(mask))
+    base = voting.accumulate_3d(*args, grid_l=64, mode="hier")
+    for topk, stride in [(2, 1), (8, 8)]:
+        res = voting.accumulate_3d(*args, grid_l=64, mode="hier",
+                                   topk=topk, cpt_stride=stride)
+        np.testing.assert_allclose(np.asarray(res.center_mm),
+                                   np.asarray(base.center_mm), atol=1e-5)
