@@ -91,8 +91,10 @@ class Bottleneck(nn.Module):
 class MMConv(nn.Module):
     """Conv expressed as shifted matmuls (einsum over channels).
 
-    Numerically identical to ``nn.Conv`` (same padding/init/param tree:
-    kernel (kh, kw, cin, cout) + bias), but lowers to K*K batched matmuls
+    Numerically identical to ``nn.Conv`` in float32 (same padding/init/
+    param tree: kernel (kh, kw, cin, cout) + bias); in bfloat16 it is
+    within a few extra bf16 roundings of nn.Conv (see the accumulation
+    note below). Lowers to K*K batched matmuls
     with fused accumulation instead of ``conv_general_dilated``. On TPU the
     XLA conv path underutilizes the MXU for shallow-channel wide-spatial
     stages: measured 2.9 ms -> 0.24 ms for conv7 (480x640, 64->32) and
@@ -114,15 +116,18 @@ class MMConv(nn.Module):
                           jnp.float32)
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
-        # Accumulate the K*K shifted contributions in float32
-        # (preferred_element_type): conv_general_dilated accumulates its
-        # whole receptive field in f32 before one bf16 rounding, so bf16
-        # rounding of each partial sum here would add up to K*K-1 extra
-        # roundings vs nn.Conv. The MXU accumulates f32 natively — this
-        # costs nothing on the matmul; only the adds carry wider values.
+        # Accumulation dtype = compute dtype. In bf16 each of the K*K
+        # shifted contributions is rounded before the adds — up to K*K-1
+        # extra roundings vs conv_general_dilated's single f32-accumulated
+        # result (each einsum still accumulates its own contraction in f32
+        # on the MXU). f32 partial sums were measured on v5e and REJECTED:
+        # they double the decoder tail's intermediate bytes and cost ~1 ms
+        # of the 4.4 ms forward (70.8 -> 57.1 fps end to end, PERF.md).
+        # The bf16 rounding error is bounded by the test suite
+        # (tests/test_model.py::test_mmconv_matches_nn_conv_f32_and_bf16)
+        # and the end-to-end ADD proof trains/serves in bf16 (E2E.md).
         if ks == 1:
-            out = jnp.einsum("bhwc,cd->bhwd", x, kernel[0, 0],
-                             preferred_element_type=jnp.float32)
+            out = jnp.einsum("bhwc,cd->bhwd", x, kernel[0, 0])
         else:
             p = ks // 2
             b, h, w, _ = x.shape
@@ -132,10 +137,9 @@ class MMConv(nn.Module):
                 for dx in range(ks):
                     contrib = jnp.einsum(
                         "bhwc,cd->bhwd", xp[:, dy:dy + h, dx:dx + w, :],
-                        kernel[dy, dx],
-                        preferred_element_type=jnp.float32)
+                        kernel[dy, dx])
                     out = contrib if out is None else out + contrib
-        return (out + bias.astype(jnp.float32)).astype(self.dtype)
+        return out + bias.astype(self.dtype)
 
 
 def _conv_bn_relu(x, features, train, dtype, name, mm=False):

@@ -111,10 +111,10 @@ def test_multihead_split_matches_single(small_input):
 
 
 def test_mmconv_matches_nn_conv_f32_and_bf16():
-    """MMConv == nn.Conv on identical params. In bf16 the shifted-matmul
-    contributions accumulate in f32 (preferred_element_type), so the result
-    stays within one bf16 rounding of the f32 oracle — the same guarantee
-    conv_general_dilated gives."""
+    """MMConv == nn.Conv on identical params. In bf16 the K*K shifted
+    contributions accumulate in bf16 (f32 partials were measured 1 ms
+    slower on v5e and rejected — PERF.md), so the result carries a few
+    extra bf16 roundings vs the f32 oracle; bound them."""
     import flax.linen as nn
     import jax.numpy as jnp
 
@@ -130,7 +130,7 @@ def test_mmconv_matches_nn_conv_f32_and_bf16():
     np.testing.assert_allclose(np.asarray(f32), oracle, atol=2e-5)
 
     bf16 = MMConv(12, 3, dtype=jnp.bfloat16).apply(ref_vars, x)
-    # one bf16 output rounding (~2^-8 relative) + f32-accumulated interior
-    tol = 1.2 * np.abs(oracle).max() * 2.0 ** -8
+    # input rounding + up to K*K-1 partial-sum roundings at ~2^-8 relative
+    tol = 4.0 * np.abs(oracle).max() * 2.0 ** -8
     np.testing.assert_allclose(np.asarray(bf16, np.float32), oracle,
                                atol=float(tol))
