@@ -188,28 +188,23 @@ frame_pose_fused = partial(jax.jit, static_argnames=_STATIC)(
     _frame_pose_fused)
 
 
-def _scan_pose_from_maps(sem_maps_b, radial_maps_b, depths_mm, k,
-                         max_radii_dm, gt_kpts_mm, sem_threshold, n_points,
-                         grid_l, mode, full_frame, topk=None,
-                         cpt_stride=None):
-    """(B, K, H, W) maps -> batched pose dicts via ``lax.scan`` over frames.
+def _scan_frames(frame_fn, images_norm, depths_mm):
+    """Run a per-frame program over a batch with ``lax.scan``.
 
-    scan (not vmap) on purpose: inside a scan body the windowed packing's
-    ``dynamic_slice`` stays a cheap slice, while under vmap the per-frame
-    window origins turn every slice into a full-frame gather (measured
-    23.0 vs 16.8 ms/frame at B=4 on v5e in round 1 — the reason the
-    batched path used to LOSE to chained single frames). The per-frame
-    vote + fit work is serial either way; only the conv forwards benefit
-    from real batching, and those run batched before this scan.
+    Measured composition (scripts/prof_batch_forms.py, v5e, 480x640 bf16,
+    B=4, per frame): batching the conv forwards is WORSE than batch-1
+    (16.1 vs 14.5 ms — full-res activations blow the on-chip working set),
+    while scanning the pack/vote/fit stage is better than standalone
+    frames (5.4 vs 7.2 ms — fixed overheads amortize, and inside a scan
+    body the windowed packing's dynamic_slice stays a slice where vmap
+    lowered it to a full-frame gather). So the fastest batch form is the
+    UNBATCHED per-frame program scanned over frames in one dispatch.
     """
     def body(carry, inp):
-        sems, rads, dep = inp
-        out = _pose_from_maps(sems, rads, dep, k, max_radii_dm, gt_kpts_mm,
-                              sem_threshold, n_points, grid_l, mode,
-                              full_frame, topk, cpt_stride)
-        return carry, out
+        img, dep = inp
+        return carry, frame_fn(img, dep)
 
-    _, outs = jax.lax.scan(body, 0, (sem_maps_b, radial_maps_b, depths_mm))
+    _, outs = jax.lax.scan(body, 0, (images_norm, depths_mm))
     return outs
 
 
@@ -218,25 +213,17 @@ def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
                      max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                      n_points=8192, grid_l=192, mode="hier",
                      full_frame=False, topk=None, cpt_stride=None):
-    """Batched ``frame_pose``: (B, H, W, 3) images + (B, H, W) depths.
-
-    Each of the three per-keypoint nets forwards the WHOLE batch (B images
-    per conv — better MXU utilization than B separate batch-1 programs),
-    then the packing/vote/fit stage scans over frames
-    (``_scan_pose_from_maps``). Returns the ``frame_pose`` dict with a
+    """Batched ``frame_pose``: (B, H, W, 3) images + (B, H, W) depths,
+    scanned per frame in one program (see ``_scan_frames`` for why nothing
+    is actually batched inside). Returns the ``frame_pose`` dict with a
     leading batch axis on every entry."""
-    if isinstance(stacked_vars, (tuple, list)):
-        var_list = list(stacked_vars)
-    else:
-        var_list = [jax.tree.map(lambda a, i=i: a[i], stacked_vars)
-                    for i in range(3)]
-    maps = [apply_fn(v, images_norm, False) for v in var_list]
-    sem_maps_b = jnp.stack([m[0][..., 0] for m in maps], axis=1)  # (B,3,H,W)
-    radial_maps_b = jnp.stack([m[1][..., 0] for m in maps], axis=1)
-    return _scan_pose_from_maps(sem_maps_b, radial_maps_b, depths_mm, k,
-                                max_radii_dm, gt_kpts_mm, sem_threshold,
-                                n_points, grid_l, mode, full_frame, topk,
-                                cpt_stride)
+    def one(img, dep):
+        return _frame_pose(
+            apply_fn, stacked_vars, img, dep, k, max_radii_dm, gt_kpts_mm,
+            sem_threshold=sem_threshold, n_points=n_points, grid_l=grid_l,
+            mode=mode, full_frame=full_frame, topk=topk,
+            cpt_stride=cpt_stride)
+    return _scan_frames(one, images_norm, depths_mm)
 
 
 @partial(jax.jit, static_argnames=_STATIC)
@@ -244,15 +231,14 @@ def frame_pose_fused_batch(apply_fn, variables, images_norm, depths_mm, k,
                            max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                            n_points=8192, grid_l=192, mode="hier",
                            full_frame=False, topk=None, cpt_stride=None):
-    """Batched fused-path frames: ONE multi-head forward over the whole
-    batch, then the per-frame scan (see ``frame_pose_batch``)."""
-    seg, radial = apply_fn(variables, images_norm, False)  # (B, H, W, K)
-    sem_maps_b = jnp.moveaxis(seg, -1, 1)                  # (B, K, H, W)
-    radial_maps_b = jnp.moveaxis(radial, -1, 1)
-    return _scan_pose_from_maps(sem_maps_b, radial_maps_b, depths_mm, k,
-                                max_radii_dm, gt_kpts_mm, sem_threshold,
-                                n_points, grid_l, mode, full_frame, topk,
-                                cpt_stride)
+    """Batched fused-path frames (see ``frame_pose_batch``)."""
+    def one(img, dep):
+        return _frame_pose_fused(
+            apply_fn, variables, img, dep, k, max_radii_dm, gt_kpts_mm,
+            sem_threshold=sem_threshold, n_points=n_points, grid_l=grid_l,
+            mode=mode, full_frame=full_frame, topk=topk,
+            cpt_stride=cpt_stride)
+    return _scan_frames(one, images_norm, depths_mm)
 
 
 class PoseEstimator:
