@@ -247,9 +247,9 @@ def _prepare(xyz_m, radial_dm, point_mask):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit,
-         static_argnames=("grid_l", "mode", "topk", "cpt_stride"))
+         static_argnames=("grid_l", "mode", "topk", "cpt_stride", "win"))
 def accumulate_3d(xyz_m, radial_dm, point_mask, grid_l=192, mode="hier",
-                  topk=None, cpt_stride=None):
+                  topk=None, cpt_stride=None, win=None):
     """Point cloud (m) + radial predictions (dm) -> keypoint estimate (mm).
 
     Args:
@@ -259,8 +259,8 @@ def accumulate_3d(xyz_m, radial_dm, point_mask, grid_l=192, mode="hier",
       grid_l: static cube side (the reference's dynamic side is
         ``length + int(r_max)``; ``overflow`` reports if it exceeds grid_l).
       mode: 'exact' or 'hier'.
-      topk/cpt_stride: hier-mode robustness/speed knobs (None = module
-        defaults _TOPK/_CPT_STRIDE); see _accumulate_hier.
+      topk/cpt_stride/win: hier-mode robustness/speed knobs (None = module
+        defaults _TOPK/_CPT_STRIDE/_WIN); see _accumulate_hier.
     """
     pts, radii_round, means, shift, bound = _prepare(
         xyz_m, radial_dm, point_mask)
@@ -271,7 +271,8 @@ def accumulate_3d(xyz_m, radial_dm, point_mask, grid_l=192, mode="hier",
         return _accumulate_hier(pts, radii_round, point_mask, grid_l,
                                 means, shift, bound,
                                 topk=topk or _TOPK,
-                                cpt_stride=cpt_stride or _CPT_STRIDE)
+                                cpt_stride=cpt_stride or _CPT_STRIDE,
+                                win=win or _WIN)
     raise ValueError(f"unknown accumulator mode: {mode}")
 
 
@@ -305,7 +306,7 @@ _CPT_STRIDE = 4  # coarse stage samples every k-th point (refine uses all)
 
 
 def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
-                     bound, topk=_TOPK, cpt_stride=_CPT_STRIDE):
+                     bound, topk=_TOPK, cpt_stride=_CPT_STRIDE, win=_WIN):
     """Coarse-to-fine accumulation; same millimeter decode frame as exact.
 
     ``topk`` (refine windows) and ``cpt_stride`` (coarse-stage point
@@ -347,11 +348,11 @@ def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
     def window_base(cidx):
         c = jnp.stack([cidx // (lc * lc), (cidx // lc) % lc,
                        cidx % lc]).astype(jnp.float32)
-        base = c * _COARSE - (_WIN - _COARSE) // 2
-        return jnp.clip(base, 0, grid_l - _WIN)
+        base = c * _COARSE - (win - _COARSE) // 2
+        return jnp.clip(base, 0, grid_l - win)
 
     bases = jax.vmap(window_base)(top_idx)  # (K, 3)
-    w = jnp.arange(_WIN, dtype=jnp.float32)
+    w = jnp.arange(win, dtype=jnp.float32)
     wi, wj, wk = jnp.meshgrid(w, w, w, indexing="ij")
     local = jnp.stack([wi.ravel(), wj.ravel(), wk.ravel()], axis=1)  # (W^3,3)
     win_vox = (bases[:, None, :] + local[None, :, :]).reshape(-1, 3)
@@ -364,8 +365,8 @@ def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
     best_per = jnp.max(fvotes, axis=1)
     kbest = jnp.argmax(best_per)
     widx = jnp.argmax(fvotes[kbest])
-    local_best = jnp.stack([widx // (_WIN * _WIN), (widx // _WIN) % _WIN,
-                            widx % _WIN]).astype(jnp.float32)
+    local_best = jnp.stack([widx // (win * win), (widx // win) % win,
+                            widx % win]).astype(jnp.float32)
     peak = bases[kbest] + local_best
     center = (peak + shift + means + 0.5) * ACC_UNIT_MM
     return AccumulatorResult(center_mm=center, peak_votes=best_per[kbest],

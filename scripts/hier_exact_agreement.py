@@ -113,7 +113,7 @@ def synth_cluttered_frame(rng, n_points=8192, noise_dm=0.05,
 
 
 def run_suite(n_frames, grid_l, scene, topk=None, cpt_stride=None, seed=0,
-              n_points=8192):
+              n_points=8192, win=None):
     rng = np.random.default_rng(seed)
     agree_voxel = 0
     dists = []
@@ -129,7 +129,7 @@ def run_suite(n_frames, grid_l, scene, topk=None, cpt_stride=None, seed=0,
                                                  noise_dm=noise)
         ex = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode="exact")
         hi = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode="hier",
-                                  topk=topk, cpt_stride=cpt_stride)
+                                  topk=topk, cpt_stride=cpt_stride, win=win)
         if bool(ex.overflow):
             overflowed += 1
             continue
@@ -152,6 +152,7 @@ def run_suite(n_frames, grid_l, scene, topk=None, cpt_stride=None, seed=0,
         "scene": scene,
         "topk": topk or voting._TOPK,
         "cpt_stride": cpt_stride or voting._CPT_STRIDE,
+        "win": win or voting._WIN,
         "agree_within_1_voxel": round(float(agree_voxel / len(dists)), 4),
         "center_dist_mm_mean": round(float(dists.mean()), 3),
         "center_dist_mm_p95": round(float(np.percentile(dists, 95)), 3),
@@ -176,6 +177,17 @@ def main():
                 for stride in (1, 4, 8):
                     print(json.dumps(run_suite(n_frames, grid_l, sc,
                                                topk=topk, cpt_stride=stride)),
+                          flush=True)
+        return
+
+    if "--sweep-win" in sys.argv:
+        # refine-window sweep: the true peak lies inside the winning coarse
+        # cell, so a window just covering cell+margin should match WIN=16
+        for sc in ("single", "cluttered"):
+            for topk in (4, 8):
+                for win in (8, 12, 16):
+                    print(json.dumps(run_suite(n_frames, grid_l, sc,
+                                               topk=topk, win=win)),
                           flush=True)
         return
 

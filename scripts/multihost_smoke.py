@@ -81,7 +81,7 @@ def worker(pid, nprocs, port):
     jax.distributed.shutdown()
 
 
-def main():
+def _attempt():
     import socket
 
     with socket.socket() as s:  # free port
@@ -98,9 +98,29 @@ def main():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
             print(out)
-            raise SystemExit(f"worker {pid} failed rc={p.returncode}")
+            return None, f"worker {pid} failed rc={p.returncode}"
         line = next(ln for ln in out.splitlines() if "MULTIHOST" in ln)
         losses.append(float(line.split("loss=")[1]))
+    return losses, None
+
+
+def main():
+    # Up to 3 attempts: Gloo's cross-process collective init has a fixed
+    # ~30 s key-value deadline, and on a single-core machine the two
+    # workers' train-step compiles can skew past it when anything else
+    # contends for the core. A failed attempt still writes the persistent
+    # compile cache (the faster worker finishes compiling), so the retry
+    # compiles in seconds on both sides and the skew vanishes. This is a
+    # harness-environment concern, not a property of the DP code.
+    err = None
+    for attempt in range(3):
+        losses, err = _attempt()
+        if losses is not None:
+            break
+        print(f"attempt {attempt + 1} failed ({err}); retrying with a "
+              "warm compile cache")
+    if losses is None:
+        raise SystemExit(err)
     assert all(ls == ls for ls in losses), f"NaN loss: {losses}"
     assert abs(losses[0] - losses[1]) < 1e-6, (
         f"hosts disagree: {losses} — the global collective did not run")

@@ -163,8 +163,8 @@ def test_hier_topk_stride_knobs(rng):
     args = (jnp.asarray(pts, jnp.float32), jnp.asarray(rad, jnp.float32),
             jnp.asarray(mask))
     base = voting.accumulate_3d(*args, grid_l=64, mode="hier")
-    for topk, stride in [(2, 1), (8, 8)]:
+    for topk, stride, win in [(2, 1, 16), (8, 8, 16), (4, 4, 8), (4, 4, 12)]:
         res = voting.accumulate_3d(*args, grid_l=64, mode="hier",
-                                   topk=topk, cpt_stride=stride)
+                                   topk=topk, cpt_stride=stride, win=win)
         np.testing.assert_allclose(np.asarray(res.center_mm),
                                    np.asarray(base.center_mm), atol=1e-5)
