@@ -254,7 +254,10 @@ def main():
     dt_vote = chain_time(vote_scalar(cfg.vote_mode), (sem_map, depth),
                          radial_map, reps=16)
     # Pair-evaluations the hier mode actually performs per keypoint...
-    hier_evals = cfg.max_points * ((cfg.vote_grid_l // 4) ** 3 + 4 * 16 ** 3)
+    from rcvpose_tpu.ops import voting as voting_mod
+    hier_evals = cfg.max_points * (
+        (cfg.vote_grid_l // voting_mod._COARSE) ** 3 // voting_mod._CPT_STRIDE
+        + voting_mod._TOPK * voting_mod._WIN ** 3)
     mvotes = hier_evals / dt_vote / 1e6
     # ...and the O(N*L^3) evaluations the reference loop needs for the same
     # keypoint (its Mvotes/s equivalent throughput at our wall-clock).

@@ -53,11 +53,13 @@ def build_parser():
     parser.add_argument("--vote_grid_l", type=int,
                         default=defaults.vote_grid_l)
     parser.add_argument("--vote_topk", type=int, default=defaults.vote_topk,
-                        help="hier refine windows (default 4; 8 recommended "
-                             "for occluded scenes like LMO — PERF.md)")
+                        help="hier refine windows (default 32 — the "
+                             "robustness-optimal point, PERF.md sweep)")
     parser.add_argument("--vote_cpt_stride", type=int,
                         default=defaults.vote_cpt_stride,
                         help="hier coarse-stage point subsample (default 4)")
+    parser.add_argument("--vote_win", type=int, default=defaults.vote_win,
+                        help="hier refine window side (default 8)")
     parser.add_argument("--using_ckpts", action="store_true", default=True)
     parser.add_argument("--no_ckpts", dest="using_ckpts",
                         action="store_false",

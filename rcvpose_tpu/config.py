@@ -51,12 +51,15 @@ class Config:
     vote_grid_l: int = 192
     vote_mode: str = "hier"           # hier | exact
     max_points: int = 8192            # padded point-cloud size for voting
-    vote_topk: Optional[int] = None   # hier refine windows (None = 4).
-    #   Multi-modal vote landscapes (occluded/cluttered scenes, LMO) agree
-    #   with the exact mode more often at 8 (+~1 ms/kpt); sweep table in
-    #   PERF.md. Single-object scenes are insensitive (1.0 agreement at 2).
+    vote_topk: Optional[int] = None   # hier refine windows (None = 32).
+    #   Default topk=32 with win=8 gives 0.83 agreement with exact mode on
+    #   occluded multi-blob scenes at the old topk=4/win=16 cost; clean
+    #   single-object scenes are 1.0 at every setting (PERF.md sweep).
     vote_cpt_stride: Optional[int] = None  # hier coarse-stage point
     #   subsample (None = 4); measured insensitive from 1 to 8
+    vote_win: Optional[int] = None    # hier refine window side (None = 8);
+    #   topk=16/stride=8/win=8 is the measured speed-lean point (-13% vote
+    #   time at 0.75 occluded agreement)
     # --- eval ---
     using_ckpts: bool = True          # net inference vs precomputed radial maps
     eval_classes: str = ""            # comma list; "" = all dataset classes

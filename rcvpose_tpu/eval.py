@@ -65,10 +65,10 @@ YCB_CLASS_NAMES = {
 
 
 @partial(jax.jit, static_argnames=("n_points", "grid_l", "mode", "topk",
-                                   "cpt_stride"))
+                                   "cpt_stride", "win"))
 def keypoint_from_maps(sem_map, radial_map, depth_mm, k, max_radius_dm,
                        sem_threshold, n_points=8192, grid_l=192, mode="hier",
-                       topk=None, cpt_stride=None):
+                       topk=None, cpt_stride=None, win=None):
     """One keypoint estimate from network output maps + depth.
 
     Mirrors the reference per-keypoint block (AccumulatorSpace.py:602-628):
@@ -88,7 +88,7 @@ def keypoint_from_maps(sem_map, radial_map, depth_mm, k, max_radius_dm,
     pts = jnp.where(mask[:, None], flat_xyz[order], 0.0)
     rad = jnp.where(mask, flat_rad[order], 0.0)
     res = voting.accumulate_3d(pts, rad, mask, grid_l=grid_l, mode=mode,
-                               topk=topk, cpt_stride=cpt_stride)
+                               topk=topk, cpt_stride=cpt_stride, win=win)
     count = jnp.sum(valid.astype(jnp.int32))
     return res.center_mm, res.overflow, count, pts * 1000.0, mask
 
@@ -122,7 +122,8 @@ def keypoint_with_retry(cfg, sem_map, radial_map, depth_j, k, max_r,
     outliers can stretch the cloud beyond the reference's usual grid)."""
     kn = dict(n_points=cfg.max_points, mode=cfg.vote_mode,
               topk=getattr(cfg, "vote_topk", None),
-              cpt_stride=getattr(cfg, "vote_cpt_stride", None))
+              cpt_stride=getattr(cfg, "vote_cpt_stride", None),
+              win=getattr(cfg, "vote_win", None))
     out = keypoint_from_maps(sem_map, radial_map, depth_j, k, max_r,
                              sem_threshold, grid_l=cfg.vote_grid_l, **kn)
     if bool(out[1]) and retry_grid_l > cfg.vote_grid_l:
@@ -598,7 +599,8 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                             n_points=cfg.max_points, grid_l=cfg.vote_grid_l,
                             mode=cfg.vote_mode,
                             topk=getattr(cfg, "vote_topk", None),
-                            cpt_stride=getattr(cfg, "vote_cpt_stride", None))
+                            cpt_stride=getattr(cfg, "vote_cpt_stride", None),
+                            win=getattr(cfg, "vote_win", None))
                     est_kpts[kp - 1] = np.asarray(center)
                     scene_parts.append(pts_mm)
                     scene_masks.append(mask)

@@ -59,7 +59,8 @@ def _window_origin(any_rows, any_cols, win_h, win_w):
 
 def _frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
                 gt_kpts_mm, sem_threshold=0.8, n_points=8192, grid_l=192,
-                mode="hier", full_frame=False, topk=None, cpt_stride=None):
+                mode="hier", full_frame=False, topk=None, cpt_stride=None,
+                win=None):
     """Full frame: 3-net forward + 3x vote + Horn, one program.
 
     Args:
@@ -92,13 +93,14 @@ def _frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
     radial_maps = jnp.stack([m[1] for m in maps])  # (3, H, W)
     return _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
                            gt_kpts_mm, sem_threshold, n_points, grid_l,
-                           mode, full_frame, topk, cpt_stride)
+                           mode, full_frame, topk, cpt_stride, win)
 
 
 def _frame_pose_fused(apply_fn, variables, image_norm, depth_mm, k,
                       max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                       n_points=8192, grid_l=192, mode="hier",
-                      full_frame=False, topk=None, cpt_stride=None):
+                      full_frame=False, topk=None, cpt_stride=None,
+                      win=None):
     """Fused multi-head frame: ONE net forward (kpt_heads output pairs)
     replaces the reference's three per-keypoint networks — the TPU-first
     serving extension (config ``kpt_heads=3``). Voting/fit identical to
@@ -108,12 +110,12 @@ def _frame_pose_fused(apply_fn, variables, image_norm, depth_mm, k,
     radial_maps = jnp.moveaxis(radial[0], -1, 0)  # (K, H, W)
     return _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
                            gt_kpts_mm, sem_threshold, n_points, grid_l,
-                           mode, full_frame, topk, cpt_stride)
+                           mode, full_frame, topk, cpt_stride, win)
 
 
 def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
                     gt_kpts_mm, sem_threshold, n_points, grid_l, mode,
-                    full_frame, topk=None, cpt_stride=None):
+                    full_frame, topk=None, cpt_stride=None, win=None):
     """(K, H, W) sem + radial maps -> pose dict (shared by the 3-net and
     fused paths)."""
     # Crop a fixed window around the union of the three sem masks before
@@ -164,7 +166,7 @@ def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
         rad = jnp.where(valid, radw.reshape(-1)[order], 0.0)
         n_valid = jnp.sum((semw & (depw > 0)).astype(jnp.int32))
         res = voting.accumulate_3d(pts, rad, valid, grid_l=grid_l, mode=mode,
-                                   topk=topk, cpt_stride=cpt_stride)
+                                   topk=topk, cpt_stride=cpt_stride, win=win)
         return res.center_mm, res.overflow, n_valid, pts * 1000.0, valid
 
     # vmapped over the 3 keypoints: the three vote kernels batch into one
@@ -181,7 +183,7 @@ def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
 
 
 _STATIC = ("apply_fn", "n_points", "grid_l", "mode", "sem_threshold",
-           "full_frame", "topk", "cpt_stride")
+           "full_frame", "topk", "cpt_stride", "win")
 
 frame_pose = partial(jax.jit, static_argnames=_STATIC)(_frame_pose)
 frame_pose_fused = partial(jax.jit, static_argnames=_STATIC)(
@@ -212,7 +214,8 @@ def _scan_frames(frame_fn, images_norm, depths_mm):
 def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
                      max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                      n_points=8192, grid_l=192, mode="hier",
-                     full_frame=False, topk=None, cpt_stride=None):
+                     full_frame=False, topk=None, cpt_stride=None,
+                     win=None):
     """Batched ``frame_pose``: (B, H, W, 3) images + (B, H, W) depths,
     scanned per frame in one program (see ``_scan_frames`` for why nothing
     is actually batched inside). Returns the ``frame_pose`` dict with a
@@ -222,7 +225,7 @@ def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
             apply_fn, stacked_vars, img, dep, k, max_radii_dm, gt_kpts_mm,
             sem_threshold=sem_threshold, n_points=n_points, grid_l=grid_l,
             mode=mode, full_frame=full_frame, topk=topk,
-            cpt_stride=cpt_stride)
+            cpt_stride=cpt_stride, win=win)
     return _scan_frames(one, images_norm, depths_mm)
 
 
@@ -230,14 +233,15 @@ def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
 def frame_pose_fused_batch(apply_fn, variables, images_norm, depths_mm, k,
                            max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                            n_points=8192, grid_l=192, mode="hier",
-                           full_frame=False, topk=None, cpt_stride=None):
+                           full_frame=False, topk=None, cpt_stride=None,
+                      win=None):
     """Batched fused-path frames (see ``frame_pose_batch``)."""
     def one(img, dep):
         return _frame_pose_fused(
             apply_fn, variables, img, dep, k, max_radii_dm, gt_kpts_mm,
             sem_threshold=sem_threshold, n_points=n_points, grid_l=grid_l,
             mode=mode, full_frame=full_frame, topk=topk,
-            cpt_stride=cpt_stride)
+            cpt_stride=cpt_stride, win=win)
     return _scan_frames(one, images_norm, depths_mm)
 
 
@@ -320,7 +324,8 @@ class PoseEstimator:
                 n_points=n_points, grid_l=self.cfg.vote_grid_l,
                 mode=self.cfg.vote_mode, full_frame=full_frame,
                 topk=getattr(self.cfg, "vote_topk", None),
-                cpt_stride=getattr(self.cfg, "vote_cpt_stride", None))
+                cpt_stride=getattr(self.cfg, "vote_cpt_stride", None),
+                win=getattr(self.cfg, "vote_win", None))
 
         return self._escalate(run, int(np.prod(np.shape(depth_mm))))
 
@@ -342,7 +347,8 @@ class PoseEstimator:
                 n_points=n_points, grid_l=self.cfg.vote_grid_l,
                 mode=self.cfg.vote_mode, full_frame=full_frame,
                 topk=getattr(self.cfg, "vote_topk", None),
-                cpt_stride=getattr(self.cfg, "vote_cpt_stride", None))
+                cpt_stride=getattr(self.cfg, "vote_cpt_stride", None),
+                win=getattr(self.cfg, "vote_win", None))
 
         return self._escalate(run, int(np.prod(np.shape(depths_mm)[1:])))
 

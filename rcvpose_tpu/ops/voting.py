@@ -21,9 +21,11 @@ This module re-derives the op for TPU:
   - ``exact``: evaluates the full grid — reference-equivalent vote counts and
     the reference's first-in-row-major argmax tie-break.
   - ``hier``: coarse-to-fine — votes on a 4x-coarse grid with a widened band,
-    then densely refines 16^3 windows around the top-K coarse peaks.
-    ~50-100x less work; validated for keypoint/ADD parity rather than
-    per-voxel vote parity.
+    then densely refines small windows around the top-K coarse peaks
+    (default 8^3 windows around the top 32 — many small windows measured
+    strictly better than few large ones, PERF.md sweep). ~50-100x less
+    work; validated for keypoint/ADD parity rather than per-voxel vote
+    parity.
 
 Reference decode semantics matched exactly (AccumulatorSpace.py:373-419):
 voxel = 5 mm (``acc_unit``); recenter by per-axis mean; radii dm -> voxels
@@ -298,10 +300,16 @@ def _accumulate_exact(pts, radii_round, point_mask, grid_l, means, shift,
                              overflow=bound > grid_l, peak_voxel=peak)
 
 
-# Hier-mode constants.
+# Hier-mode constants. Defaults chosen by the round-2 sweep
+# (scripts/hier_exact_agreement.py --sweep/--sweep-win + prof_vote_win.py,
+# table in PERF.md): many SMALL refine windows beat few large ones — at
+# win=8 the refine stage is nearly free (kernel-granularity bound), so
+# topk=32/win=8 costs the same as the old topk=4/win=16 (2.64 vs 2.61
+# ms/kpt) while raising occluded-scene agreement with the exact mode from
+# 0.58 to 0.83 (clean scenes are 1.0 at every setting).
 _COARSE = 4   # coarse factor (4x4x4 fine voxels per coarse cell)
-_TOPK = 4     # refine around this many coarse peaks
-_WIN = 16     # fine refine window side per peak
+_TOPK = 32    # refine around this many coarse peaks
+_WIN = 8      # fine refine window side per peak
 _CPT_STRIDE = 4  # coarse stage samples every k-th point (refine uses all)
 
 

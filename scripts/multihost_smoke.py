@@ -75,7 +75,17 @@ def worker(pid, nprocs, port):
     }
     gbatch = parallel.shard_batch(mesh, batch)
     assert gbatch["image"].shape[0] == per_host * nprocs
-    state, m = p_train(state, gbatch)
+    # AOT-compile BEFORE the first collective, then rendezvous at the
+    # coordination-service barrier (NOT a gloo collective): Gloo's
+    # cross-process context init has a fixed ~30 s key-value deadline, and
+    # on a single-core machine the two workers' compiles can skew past it.
+    # After this barrier both workers enter the collective within
+    # milliseconds of each other.
+    compiled = p_train.lower(state, gbatch).compile()
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier("rcvpose_compiled", 600_000)
+    state, m = compiled(state, gbatch)
     loss = float(m["loss"])
     print(f"MULTIHOST pid={pid} loss={loss:.6f}", flush=True)
     jax.distributed.shutdown()
