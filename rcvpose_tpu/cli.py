@@ -70,6 +70,10 @@ def build_parser():
                              "reference)")
     parser.add_argument("--demo_mode", action="store_true")
     parser.add_argument("--test_occ", action="store_true")
+    parser.add_argument("--fake_depth", action="store_true",
+                        help="gen-labels: meter-valued FakeDepth/ maps for "
+                             "the RGB-only ablation (reference "
+                             "depthGeneration flag)")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: jax.distributed.initialize() "
                              "before mesh construction (no-op on one host)")
@@ -194,7 +198,14 @@ def run_gen_labels(cfg):
         sub = os.path.join(root, "LINEMOD")
         if os.path.isdir(sub):
             root = sub
-        genlabels.generate_lm(root, cfg.class_name)
+        if cfg.fake_depth:
+            # one FakeDepth/ dir per class (the reference loops keypoints
+            # into it, each overwriting the last — run one keypoint)
+            genlabels.generate_lm(root, cfg.class_name,
+                                  kpt_indices=[cfg.kpt_num],
+                                  fake_depth=True)
+        else:
+            genlabels.generate_lm(root, cfg.class_name)
     else:
         from rcvpose_tpu.eval import YCB_CLASS_NAMES
         class_id = {v: k for k, v in YCB_CLASS_NAMES.items()}[cfg.class_name]

@@ -67,6 +67,8 @@ class Config:
     icp_iters: int = 30
     demo_mode: bool = False
     test_occ: bool = False
+    fake_depth: bool = False          # gen-labels: write meter-valued
+    #   FakeDepth/ maps (reference depthGeneration, 3DRadius_lm.py:14)
     # --- infra ---
     distributed: bool = False         # multi-host: jax.distributed.initialize
     out_dir: str = "logs"

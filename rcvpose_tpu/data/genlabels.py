@@ -26,14 +26,22 @@ from rcvpose_tpu.data.dataset import LinemodDataset
 
 
 def generate_lm(root, class_name, kpt_indices=range(1, 4), split="val",
-                out_root=None, batch_size=8, progress=print):
-    """Write Out_pt<k>_dm/<id>.npy radial maps for one LINEMOD class."""
+                out_root=None, batch_size=8, progress=print,
+                fake_depth=False):
+    """Write Out_pt<k>_dm/<id>.npy radial maps for one LINEMOD class.
+
+    ``fake_depth=True`` is the reference's ``depthGeneration`` mode
+    (3DRadius_lm.py:14, 152-153, 213-214): the same per-pixel
+    keypoint-distance maps, saved METER-valued (no x10) under ``FakeDepth/``
+    — the pseudo-depth input of the RGB-only ablation.
+    """
     out_root = out_root or os.path.join(root, class_name)
     k = jnp.asarray(geometry.LINEMOD_K, jnp.float32)
 
     for kpt_num in kpt_indices:
         ds = LinemodDataset(root, class_name, kpt_num=kpt_num, split=split)
-        out_dir = os.path.join(out_root, f"Out_pt{kpt_num}_dm")
+        out_dir = os.path.join(
+            out_root, "FakeDepth" if fake_depth else f"Out_pt{kpt_num}_dm")
         os.makedirs(out_dir, exist_ok=True)
         kpt = jnp.asarray(ds.kpt, jnp.float32)
         maxr = jnp.float32(ds.max_radii_dm)
@@ -54,6 +62,8 @@ def generate_lm(root, class_name, kpt_indices=range(1, 4), split="val",
             pose = jnp.asarray(
                 np.stack([s["pose"] for s in samples]).astype(np.float32))
             radials = np.asarray(batch_labels(depth, mask, pose))
+            if fake_depth:
+                radials = radials / 10.0  # dm -> meters (reference :213)
             for s, r in zip(samples, radials):
                 np.save(os.path.join(out_dir, f"{s['img_id']}.npy"), r)
             progress(f"{class_name} pt{kpt_num}: "

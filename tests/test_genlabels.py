@@ -45,3 +45,21 @@ def test_cli_config_round_trip(tmp_path):
     from rcvpose_tpu.config import Config
     cfg2 = Config.load(str(p))
     assert cfg2 == cfg
+
+
+def test_generate_lm_fake_depth_mode(linemod_tree):  # noqa: F811
+    """depthGeneration parity (reference 3DRadius_lm.py:14, 152-153,
+    213-214): meter-valued maps under FakeDepth/, = Out_pt maps / 10."""
+    genlabels.generate_lm(linemod_tree, "toy", kpt_indices=[1],
+                          batch_size=2, progress=lambda *_: None)
+    genlabels.generate_lm(linemod_tree, "toy", kpt_indices=[1],
+                          batch_size=2, progress=lambda *_: None,
+                          fake_depth=True)
+    ds = LinemodDataset(linemod_tree, "toy", kpt_num=1)
+    raw = ds.raw(0)
+    dm = np.load(os.path.join(linemod_tree, "toy", "Out_pt1_dm",
+                              f"{raw['img_id']}.npy"))
+    fake = np.load(os.path.join(linemod_tree, "toy", "FakeDepth",
+                                f"{raw['img_id']}.npy"))
+    np.testing.assert_allclose(fake, dm / 10.0, atol=1e-6)
+    assert fake.max() < 1.0  # meters, not decimeters
