@@ -8,10 +8,11 @@ the reference instrumented but never reported (net_time/acc_time,
 SURVEY.md §6).
 
 All numbers are DEVICE-TRUE: every measurement chains its op inside one
-compiled fori_loop with a real carry dependence. Per-dispatch timing is
-meaningless on this runtime — the host<->device tunnel costs ~3 ms per
-dispatch and XLA hoists loop-invariant bodies, so naive loops measure
-either latency or nothing.
+compiled fori_loop with a real carry dependence, with enough reps that the
+dispatch cost vanishes. Per-dispatch timing is meaningless on this
+runtime — one dispatch + result fetch through the host<->device tunnel
+measures ~29 ms, and XLA hoists loop-invariant bodies, so naive loops
+measure either latency or nothing.
 
 Baseline: the BASELINE.json north star of 30 RGB-D frames/sec/chip.
 """
@@ -32,7 +33,14 @@ def chain_time(fn, args, x0, reps=32, runs=3):
     ``fn(*args, x) -> float32 scalar``; each iteration perturbs x by
     scalar*1e-12 so the body cannot be hoisted. Large operands (weights)
     must ride in ``args`` — closure-captured constants are inlined into the
-    HLO and can exceed the remote-compile request limit."""
+    HLO and can exceed the remote-compile request limit.
+
+    reps must swamp the per-dispatch cost: one dispatch + scalar fetch
+    through this environment's tunnel measures ~29 ms (measured with a
+    trivial body at reps 16/64/256 — 1.82/0.45/0.12 ms/rep), so a reps=16
+    chain overstates a millisecond-scale op by ~1.8 ms. Real TPU hosts
+    dispatch in ~0.1 ms; the tunnel is environment, not framework, so it
+    must be amortized away."""
     @jax.jit
     def run(*a):
         x = a[-1]
@@ -80,7 +88,7 @@ def build_frame_fn(cfg):
             grid_l=cfg.vote_grid_l, mode=cfg.vote_mode)
         return out["rt"], out["centers"]
 
-    reps = 20
+    reps = 100
 
     @jax.jit
     def run_frames(stacked, image_norm, depth, max_radii, gt_kpts_mm):
@@ -154,7 +162,7 @@ def main():
 
     # batched serving throughput (frame_pose_batch, B frames per iteration)
     bsz = 4 if backend != "cpu" else 2
-    breps = 5
+    breps = 25 if backend != "cpu" else 5
     imgs_b = jnp.broadcast_to(image, (bsz, h, w, 3))
     deps_b = jnp.broadcast_to(depth, (bsz, h, w))
     runb = batch_frames(variables, imgs_b, deps_b, max_radii, gt_kpts, breps)
@@ -237,7 +245,7 @@ def main():
     one_vars = variables[0]
     dt_net = chain_time(
         lambda v, im: model.apply(v, im, False)[1].astype(jnp.float32).mean(),
-        (one_vars,), image[None], reps=16)
+        (one_vars,), image[None], reps=128)
     seg, radial = jax.jit(lambda v, x: model.apply(v, x, False))(
         one_vars, image[None])
     sem_map = seg[0, :, :, 0]
@@ -252,7 +260,7 @@ def main():
             return c.astype(jnp.float32).mean()
         return fn
     dt_vote = chain_time(vote_scalar(cfg.vote_mode), (sem_map, depth),
-                         radial_map, reps=16)
+                         radial_map, reps=256)
     # Pair-evaluations the hier mode actually performs per keypoint...
     from rcvpose_tpu.ops import voting as voting_mod
     hier_evals = cfg.max_points * (
@@ -269,13 +277,13 @@ def main():
     dt_exact = None
     if backend != "cpu":
         dt_exact = chain_time(vote_scalar("exact"), (sem_map, depth),
-                              radial_map, reps=4)
+                              radial_map, reps=16)
         mvotes_exact = ref_evals / dt_exact / 1e6
 
     from rcvpose_tpu import fit as fit_mod
     dt_fit = chain_time(
         lambda gt, est: fit_mod.horn_fit(gt, est).astype(jnp.float32).mean(),
-        (gt_kpts,), gt_kpts + 1.0, reps=64)
+        (gt_kpts,), gt_kpts + 1.0, reps=1024)
 
     print(f"stages (device-true): net={dt_net*1e3:.2f} ms  "
           f"vote(1kpt,{cfg.vote_mode})={dt_vote*1e3:.2f} ms  "
