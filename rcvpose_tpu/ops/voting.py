@@ -300,17 +300,19 @@ def _accumulate_exact(pts, radii_round, point_mask, grid_l, means, shift,
                              overflow=bound > grid_l, peak_voxel=peak)
 
 
-# Hier-mode constants. Defaults chosen by the round-2 sweep
+# Hier-mode constants. Defaults chosen by the round-2 sweeps
 # (scripts/hier_exact_agreement.py --sweep/--sweep-win + prof_vote_win.py,
 # table in PERF.md): many SMALL refine windows beat few large ones — at
 # win=8 the refine stage is nearly free (kernel-granularity bound), so
-# topk=32/win=8 costs the same as the old topk=4/win=16 (2.64 vs 2.61
-# ms/kpt) while raising occluded-scene agreement with the exact mode from
-# 0.58 to 0.83 (clean scenes are 1.0 at every setting).
+# topk=32/win=8 costs no more than the old topk=4/win=16 while raising
+# occluded-scene agreement with the exact mode from 0.58 to 0.83 (clean
+# scenes are 1.0 at every setting). The coarse-stage subsample at 8 is
+# agreement-identical to 4 (0.8333 on the cluttered suite either way) and
+# 13% faster: 0.73 vs 0.84 ms/kpt dispatch-amortized at grid 128/8192 pts.
 _COARSE = 4   # coarse factor (4x4x4 fine voxels per coarse cell)
 _TOPK = 32    # refine around this many coarse peaks
 _WIN = 8      # fine refine window side per peak
-_CPT_STRIDE = 4  # coarse stage samples every k-th point (refine uses all)
+_CPT_STRIDE = 8  # coarse stage samples every k-th point (refine uses all)
 
 
 def _accumulate_hier(pts, radii_round, point_mask, grid_l, means, shift,
