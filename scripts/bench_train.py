@@ -46,7 +46,7 @@ def main():
         "sem": jnp.asarray(np.where(radial > 0, 1.0, -1.0), jnp.float32),
     }
 
-    reps = 8
+    reps = 32
 
     @jax.jit
     def run(state, batch_d):
