@@ -66,6 +66,36 @@ def synth_frame(rng, n_points=8192, noise_dm=0.0):
             kpt * 1000.0)
 
 
+def synth_maskbleed_frame(rng, n_points=8192, noise_dm=0.05,
+                          bleed_frac=0.15):
+    """The realistic serving regime: one object whose sem mask bleeds onto
+    background — ``bleed_frac`` of the points sit on a background plane
+    ~10-30 cm behind the object carrying JUNK radial predictions (what a
+    trained net emits on false-positive pixels), plus 5 mm radial noise on
+    the object itself. Between 'single' (clean) and 'cluttered'
+    (adversarial competing basins)."""
+    center = rng.uniform([-0.1, -0.1, 0.6], [0.1, 0.1, 1.0])
+    n_obj = int(n_points * (1.0 - bleed_frac))
+    obj = _patch(rng, n_obj, center)
+    kpt = center + rng.uniform(-0.06, 0.06, size=3)
+    obj_r = np.linalg.norm(obj - kpt, axis=1) * 10.0
+
+    n_bg = n_points - n_obj
+    bg_center = center + np.array([0.0, 0.0, rng.uniform(0.1, 0.3)])
+    bg = _patch(rng, n_bg, bg_center, extent_scale=2.0, roughness=0.001)
+    # junk radii: uniform over the plausible prediction range
+    bg_r = rng.uniform(0.1, obj_r.max() * 1.2, size=n_bg)
+
+    pts = np.concatenate([obj, bg])[:n_points]
+    radial_dm = np.concatenate([obj_r, bg_r])[:n_points]
+    radial_dm = np.maximum(
+        radial_dm + rng.normal(size=pts.shape[0]) * noise_dm, 0.0)
+    mask = np.ones(pts.shape[0], bool)
+    return (jnp.asarray(pts, jnp.float32),
+            jnp.asarray(radial_dm, jnp.float32), jnp.asarray(mask),
+            kpt * 1000.0)
+
+
 def synth_cluttered_frame(rng, n_points=8192, noise_dm=0.05,
                           outlier_frac=0.05):
     """Occluded multi-blob scene with competing vote basins.
@@ -122,6 +152,9 @@ def run_suite(n_frames, grid_l, scene, topk=None, cpt_stride=None, seed=0,
     for i in range(n_frames):
         if scene == "cluttered":
             pts, rad, mask, kpt_mm = synth_cluttered_frame(
+                rng, n_points=n_points)
+        elif scene == "maskbleed":
+            pts, rad, mask, kpt_mm = synth_maskbleed_frame(
                 rng, n_points=n_points)
         else:
             noise = 0.0 if i % 2 == 0 else 0.05  # half the frames: 5 mm noise
