@@ -88,7 +88,9 @@ def build_frame_fn(cfg):
             grid_l=cfg.vote_grid_l, mode=cfg.vote_mode)
         return out["rt"], out["centers"]
 
-    reps = 100
+    # amortize the ~29 ms dispatch on TPU; the CPU smoke path keeps the
+    # loop short (a full-model frame is seconds per rep on one core)
+    reps = 100 if jax.default_backend() != "cpu" else 10
 
     @jax.jit
     def run_frames(stacked, image_norm, depth, max_radii, gt_kpts_mm):
@@ -245,7 +247,8 @@ def main():
     one_vars = variables[0]
     dt_net = chain_time(
         lambda v, im: model.apply(v, im, False)[1].astype(jnp.float32).mean(),
-        (one_vars,), image[None], reps=128)
+        (one_vars,), image[None],
+        reps=128 if backend != "cpu" else 8)
     seg, radial = jax.jit(lambda v, x: model.apply(v, x, False))(
         one_vars, image[None])
     sem_map = seg[0, :, :, 0]
@@ -260,7 +263,8 @@ def main():
             return c.astype(jnp.float32).mean()
         return fn
     dt_vote = chain_time(vote_scalar(cfg.vote_mode), (sem_map, depth),
-                         radial_map, reps=256)
+                         radial_map,
+                         reps=256 if backend != "cpu" else 16)
     # Pair-evaluations the hier mode actually performs per keypoint...
     from rcvpose_tpu.ops import voting as voting_mod
     hier_evals = cfg.max_points * (
@@ -283,7 +287,8 @@ def main():
     from rcvpose_tpu import fit as fit_mod
     dt_fit = chain_time(
         lambda gt, est: fit_mod.horn_fit(gt, est).astype(jnp.float32).mean(),
-        (gt_kpts,), gt_kpts + 1.0, reps=1024)
+        (gt_kpts,), gt_kpts + 1.0,
+        reps=1024 if backend != "cpu" else 64)
 
     print(f"stages (device-true): net={dt_net*1e3:.2f} ms  "
           f"vote(1kpt,{cfg.vote_mode})={dt_vote*1e3:.2f} ms  "
