@@ -48,6 +48,10 @@ def build_parser():
                         choices=["dense", "res"])
     parser.add_argument("--compute_dtype", default=defaults.compute_dtype,
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--fast_head", action="store_true",
+                        help="conv7/conv8 head at H/2 + upsampled output "
+                             "(faster forward; not the reference forward — "
+                             "see PERF.md)")
     parser.add_argument("--vote_mode", default=defaults.vote_mode,
                         choices=["hier", "exact"])
     parser.add_argument("--vote_grid_l", type=int,

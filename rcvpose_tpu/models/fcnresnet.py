@@ -225,6 +225,12 @@ class DenseFCNResNet152(nn.Module):
     dtype: jnp.dtype = jnp.float32
     blocks: Sequence[int] = RESNET152_BLOCKS  # shallower for tests
     width: float = 1.0                        # fractional for tests only
+    fast_head: bool = False  # TPU-first extension: run the conv7/conv8 head
+    #   BEFORE the final 2x upsample (1/4 the pixels for the costliest
+    #   full-resolution stage) and bilinearly upsample the thin 2K-channel
+    #   output instead. Identical parameter tree — torch import/export
+    #   unaffected — but NOT the reference forward; opt in via
+    #   Config.fast_head after checking the accuracy note in PERF.md.
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -254,10 +260,18 @@ class DenseFCNResNet152(nn.Module):
         up = jax_resize2x(up)
         up = _conv_bn_relu(jnp.concatenate([up, xc], -1), w(64), train,
                            self.dtype, "conv_up1", mm=True)
-        up = jax_resize2x(up)
-        up = _conv_bn_relu(up, w(32), train, self.dtype, "conv7", mm=True)
-        out = MMConv(self.output_channels, 1, dtype=self.dtype,
-                     name="conv8")(up)
+        if self.fast_head:
+            up = _conv_bn_relu(up, w(32), train, self.dtype, "conv7",
+                               mm=True)
+            out = MMConv(self.output_channels, 1, dtype=self.dtype,
+                         name="conv8")(up)
+            out = jax_resize2x(out)
+        else:
+            up = jax_resize2x(up)
+            up = _conv_bn_relu(up, w(32), train, self.dtype, "conv7",
+                               mm=True)
+            out = MMConv(self.output_channels, 1, dtype=self.dtype,
+                         name="conv8")(up)
         return _split_heads(out)
 
 

@@ -66,6 +66,8 @@ def build_model(cfg, blocks=None, width=None):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     kwargs = dict(dtype=dtype,
                   output_channels=2 * getattr(cfg, "kpt_heads", 1))
+    if cfg.model == "dense" and getattr(cfg, "fast_head", False):
+        kwargs["fast_head"] = True  # DenseFCN-only extension
     if blocks is None and getattr(cfg, "model_blocks", ""):
         blocks = [int(b) for b in cfg.model_blocks.split(",")]
     if width is None and getattr(cfg, "model_width", 1.0) != 1.0:

@@ -138,6 +138,9 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="train ONE multi-head net (kpt_heads=3) instead of "
                          "three per-keypoint nets")
+    ap.add_argument("--fast-head", action="store_true", dest="fast_head",
+                    help="conv7/conv8 head at H/2 + upsampled output "
+                         "(validates the fast_head extension end to end)")
     ap.add_argument("--out", default="logs/e2e_synthetic")
     args = ap.parse_args()
 
@@ -192,7 +195,8 @@ def main():
     cfg = Config(
         compute_dtype="float32" if small else "bfloat16",
         image_height=h, image_width=w, batch_size=batch,
-        initial_lr=3e-4, max_iterations=steps, kpt_heads=heads)
+        initial_lr=3e-4, max_iterations=steps, kpt_heads=heads,
+        fast_head=args.fast_head)
     mesh = parallel.data_mesh(1)
     p_steps = train_mod.make_parallel_steps(mesh)
 
@@ -276,7 +280,7 @@ def main():
         compute_dtype=cfg.compute_dtype, image_height=h, image_width=w,
         vote_grid_l=min(grid_l, 96) if small else grid_l,
         max_points=1024 if small else 8192, sem_threshold=0.8,
-        kpt_heads=heads)
+        kpt_heads=heads, fast_head=args.fast_head)
     est = infer.PoseEstimator(
         eval_cfg, trained_vars, keypoints=KEYPOINTS_M,
         max_radii_dm=max_radii_dm, cad_mm=cad_m * 1000.0, k=k)

@@ -134,3 +134,21 @@ def test_mmconv_matches_nn_conv_f32_and_bf16():
     tol = 4.0 * np.abs(oracle).max() * 2.0 ** -8
     np.testing.assert_allclose(np.asarray(bf16, np.float32), oracle,
                                atol=float(tol))
+
+
+def test_fast_head_shapes_and_param_tree(small_input):
+    """fast_head runs conv7/conv8 at H/2 + upsamples the thin output: same
+    full-res output shapes and the IDENTICAL parameter tree (torch
+    import/export unaffected)."""
+    ref = DenseFCNResNet152(blocks=TINY, width=0.125)
+    fast = DenseFCNResNet152(blocks=TINY, width=0.125, fast_head=True)
+    v_ref = ref.init(jax.random.PRNGKey(0), small_input, False)
+    v_fast = fast.init(jax.random.PRNGKey(0), small_input, False)
+    ref_paths = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(v_ref)[0]}
+    fast_paths = {jax.tree_util.keystr(p)
+                  for p, _ in jax.tree_util.tree_flatten_with_path(v_fast)[0]}
+    assert ref_paths == fast_paths
+    seg, radial = fast.apply(v_ref, small_input, False)
+    assert seg.shape == (1, 64, 64, 1)
+    assert radial.shape == (1, 64, 64, 1)
