@@ -57,8 +57,10 @@ def build_parser():
     parser.add_argument("--vote_grid_l", type=int,
                         default=defaults.vote_grid_l)
     parser.add_argument("--vote_topk", type=int, default=defaults.vote_topk,
-                        help="hier refine windows (default 32 — the "
-                             "robustness-optimal point, PERF.md sweep)")
+                        help="hier refine windows (default 32; 64 "
+                             "reproduces the exact mode's keypoint on every "
+                             "measured suite incl. adversarial clutter — "
+                             "recommended for LMO eval, PERF.md)")
     parser.add_argument("--vote_cpt_stride", type=int,
                         default=defaults.vote_cpt_stride,
                         help="hier coarse-stage point subsample (default 4)")
