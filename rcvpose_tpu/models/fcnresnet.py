@@ -88,6 +88,69 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+def _mmconv_apply(x, kernel):
+    """Shifted-matmul SAME conv core: pad once, K*K einsums, accumulate."""
+    ks = kernel.shape[0]
+    if ks == 1:
+        return jnp.einsum("bhwc,cd->bhwd", x, kernel[0, 0])
+    p = ks // 2
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    out = None
+    for dy in range(ks):
+        for dx in range(ks):
+            contrib = jnp.einsum(
+                "bhwc,cd->bhwd", xp[:, dy:dy + h, dx:dx + w, :],
+                kernel[dy, dx])
+            out = contrib if out is None else out + contrib
+    return out
+
+
+@jax.custom_vjp
+def mmconv2d(x, kernel):
+    """SAME-padding conv as shifted matmuls, with a hand-written backward.
+
+    XLA's autodiff of the forward's padded-buffer slices turns the input
+    gradient into K*K materialized full-resolution pad+add fusions — a
+    device trace of the train step showed those fusions (plus their layout
+    copies) dominating the decoder backward at 480x640. The VJP below is
+    the transpose conv expressed in the SAME fast form: pad the cotangent
+    once and run K*K einsums against the flipped/transposed kernel, so
+    backward enjoys the exact optimization the forward was built for
+    (dL/dx[a,b] = sum_{u,v} g[a-u, b-v] W[p+u, p+v] = shifted-matmul of g
+    with W flipped in both spatial dims, channels transposed).
+    """
+    return _mmconv_apply(x, kernel)
+
+
+def _mmconv2d_fwd(x, kernel):
+    return _mmconv_apply(x, kernel), (x, kernel)
+
+
+def _mmconv2d_bwd(res, g):
+    x, kernel = res
+    g = g.astype(x.dtype)
+    ks = kernel.shape[0]
+    # input grad: same shifted-matmul conv of g with the rotated kernel
+    dx = _mmconv_apply(g, jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2)))
+    # weight grad: per-shift (bhw)-contraction einsums off one padded x
+    if ks == 1:
+        dk = jnp.einsum("bhwc,bhwd->cd", x, g)[None, None]
+    else:
+        p = ks // 2
+        h, w = x.shape[1], x.shape[2]
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        dk = jnp.stack([
+            jnp.stack([
+                jnp.einsum("bhwc,bhwd->cd", xp[:, dy:dy + h, dx:dx + w, :], g)
+                for dx in range(ks)], axis=0)
+            for dy in range(ks)], axis=0)
+    return dx, dk
+
+
+mmconv2d.defvjp(_mmconv2d_fwd, _mmconv2d_bwd)
+
+
 class MMConv(nn.Module):
     """Conv expressed as shifted matmuls (einsum over channels).
 
@@ -126,20 +189,7 @@ class MMConv(nn.Module):
         # The bf16 rounding error is bounded by the test suite
         # (tests/test_model.py::test_mmconv_matches_nn_conv_f32_and_bf16)
         # and the end-to-end ADD proof trains/serves in bf16 (E2E.md).
-        if ks == 1:
-            out = jnp.einsum("bhwc,cd->bhwd", x, kernel[0, 0])
-        else:
-            p = ks // 2
-            b, h, w, _ = x.shape
-            xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-            out = None
-            for dy in range(ks):
-                for dx in range(ks):
-                    contrib = jnp.einsum(
-                        "bhwc,cd->bhwd", xp[:, dy:dy + h, dx:dx + w, :],
-                        kernel[dy, dx])
-                    out = contrib if out is None else out + contrib
-        return out + bias.astype(self.dtype)
+        return mmconv2d(x, kernel) + bias.astype(self.dtype)
 
 
 def _conv_bn_relu(x, features, train, dtype, name, mm=False):

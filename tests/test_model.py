@@ -136,6 +136,37 @@ def test_mmconv_matches_nn_conv_f32_and_bf16():
                                atol=float(tol))
 
 
+def test_mmconv_custom_vjp_matches_autodiff_and_nn_conv():
+    """mmconv2d's hand-written backward (transpose conv in the same
+    shifted-matmul form — see the device-trace rationale in its docstring)
+    must equal both XLA autodiff of the forward and nn.Conv's gradients."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from rcvpose_tpu.models.fcnresnet import _mmconv_apply, mmconv2d
+
+    rng = np.random.default_rng(3)
+    for ks in (1, 3):
+        x = jnp.asarray(rng.normal(size=(2, 9, 11, 5)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(ks, ks, 5, 7)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(2, 9, 11, 7)).astype(np.float32))
+
+        gx1, gk1 = jax.grad(lambda x, k: jnp.sum(mmconv2d(x, k) * g),
+                            argnums=(0, 1))(x, k)
+        gx2, gk2 = jax.grad(lambda x, k: jnp.sum(_mmconv_apply(x, k) * g),
+                            argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                                   rtol=1e-5, atol=1e-5)
+
+        conv = nn.Conv(7, (ks, ks), padding=ks // 2, dtype=jnp.float32)
+        kernel_vars = {"params": {"kernel": k, "bias": jnp.zeros(7)}}
+        gx3 = jax.grad(lambda x: jnp.sum(conv.apply(kernel_vars, x) * g))(x)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx3),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_fast_head_shapes_and_param_tree(small_input):
     """fast_head runs conv7/conv8 at H/2 + upsamples the thin output: same
     full-res output shapes and the IDENTICAL parameter tree (torch
