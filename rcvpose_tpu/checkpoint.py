@@ -240,6 +240,104 @@ def export_torch_state_dict(variables, template_keys):
     return out
 
 
+def _flax_path_to_torch_key(col, path):
+    """Inverse of ``torch_key_to_flax`` for one (collection, path) pair.
+
+    Covers every parameter the Flax models allocate (reference module
+    naming: models/fcnresnet.py — conv1/bn1, block{s}up(+upsample_ proj),
+    block{s}.{i} Sequentials, conv6/bn6, conv_up{k}.{0,1}, conv_up{k}_1
+    lifts, conv7.{0,1}, conv8)."""
+    leaf = path[-1]
+    conv_leaf = {"kernel": "weight", "bias": "bias"}
+    bn_leaf = {"scale": "weight", "bias": "bias",
+               "mean": "running_mean", "var": "running_var"}
+    lmap = bn_leaf if col == "batch_stats" else conv_leaf
+
+    def bn_or_conv(module):
+        is_bn = (col == "batch_stats" or module.startswith("bn")
+                 or module.endswith("_bn") or module == "proj_bn")
+        return (bn_leaf if is_bn else conv_leaf)[leaf]
+
+    if path[0] == "encoder":
+        mod = path[1]
+        if mod in ("conv1", "bn1"):
+            return f"{mod}.{bn_or_conv(mod)}"
+        m_up = re.match(r"block(\d)up$", mod)
+        if m_up:
+            member = path[2]
+            if member == "proj_conv":
+                return f"{mod}.upsample_.0.{conv_leaf[leaf]}"
+            if member == "proj_bn":
+                return f"{mod}.upsample_.1.{bn_leaf[leaf]}"
+            return f"{mod}.{member}.{bn_or_conv(member)}"
+        m_blk = re.match(r"block(\d)_(\d+)$", mod)
+        if m_blk:
+            member = path[2]
+            seq = int(m_blk.group(2)) - 1  # our _1 -> Sequential index 0
+            return (f"block{m_blk.group(1)}.{seq}.{member}."
+                    f"{bn_or_conv(member)}")
+        raise KeyError(f"unmapped encoder module {mod!r}")
+    mod = path[0]
+    if mod in ("conv6", "bn6", "conv8"):
+        return f"{mod}.{bn_or_conv(mod)}"
+    m_seq = re.match(r"(conv_up\d|conv7)_(conv|bn)$", mod)
+    if m_seq:
+        idx = 0 if m_seq.group(2) == "conv" else 1
+        return f"{m_seq.group(1)}.{idx}.{bn_or_conv(mod)}"
+    if re.match(r"conv_up\d_1$", mod):
+        return f"{mod}.{lmap[leaf]}"
+    raise KeyError(f"unmapped module path {'/'.join(path)!r}")
+
+
+def reference_state_dict_keys(variables):
+    """Torch state-dict keys for these Flax variables, in reference layout.
+
+    Derived from the variable tree itself (no torch model needed) and
+    self-checked: every generated key must map back to its source path via
+    ``torch_key_to_flax``, so this inverse and the importer cannot drift.
+    Feed the result to ``export_torch_state_dict`` to emit a checkpoint the
+    reference's ``load_state_dict(strict=False)`` consumes directly.
+    """
+    keys = []
+    for col in ("params", "batch_stats"):
+        tree = variables.get(col, {})
+        for path_t, _ in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            path = [getattr(p, "key", getattr(p, "name", None))
+                    for p in path_t]
+            key = _flax_path_to_torch_key(col, path)
+            back = torch_key_to_flax(key)
+            assert back == (col, path), (
+                f"inverse mapping drift: {key!r} -> {back} != "
+                f"({col}, {path})")
+            keys.append(key)
+    return keys
+
+
+def export_torch_checkpoint(variables, path, epoch=0, iteration=0,
+                            extra=None):
+    """Write Flax variables as a reference-format ``.pth.tar``.
+
+    The payload mirrors the reference Trainer's checkpoint dict
+    (train.py:118-128: model_state_dict + bookkeeping); tensors are torch
+    CPU tensors so ``torch.load`` + ``load_state_dict(strict=False)`` work
+    in an unmodified reference environment."""
+    import torch
+
+    keys = reference_state_dict_keys(variables)
+    sd = export_torch_state_dict(variables, keys)
+    payload = {
+        "model_state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                             for k, v in sd.items()},
+        "epoch": int(epoch),
+        "iteration": int(iteration),
+        "arch": "DenseFCNResNet152",
+    }
+    if extra:
+        payload.update(extra)
+    torch.save(payload, path)
+    return path
+
+
 def import_torch_checkpoint(path):
     """Load a reference .pth.tar and return Flax variables. The payload is a
     dict with 'model_state_dict' (train.py:118-128) or a bare state dict."""

@@ -20,7 +20,8 @@ def build_parser():
     parser = argparse.ArgumentParser(prog="rcvpose-tpu")
     defaults = Config()
     parser.add_argument("--mode", default=defaults.mode,
-                        choices=["train", "test", "benchmark", "gen-labels"])
+                        choices=["train", "test", "benchmark", "gen-labels",
+                                 "export-torch"])
     parser.add_argument("--dname", "--dataset", dest="dataset",
                         default=defaults.dataset, choices=["lm", "lmo", "ycb"])
     parser.add_argument("--root_dataset", default=defaults.root_dataset)
@@ -84,6 +85,9 @@ def build_parser():
                         help="multi-host: jax.distributed.initialize() "
                              "before mesh construction (no-op on one host)")
     parser.add_argument("--seed", type=int, default=defaults.seed)
+    parser.add_argument("--export_path", default=defaults.export_path,
+                        help="export-torch: output .pth.tar path (default "
+                             "<model_dir>/exported.pth.tar)")
     return parser
 
 
@@ -218,6 +222,33 @@ def run_gen_labels(cfg):
         genlabels.generate_ycb(cfg.root_dataset, cfg.class_name, class_id)
 
 
+def run_export_torch(cfg):
+    """Export an orbax checkpoint as a reference-format .pth.tar.
+
+    ``--model_dir`` points at a Checkpointer directory (the ``ckpts/`` under
+    a train run's log dir); prefers ``model_best`` over ``ckpt``, mirroring
+    the reference's eval-from-best convention (train.py:46). The reverse of
+    the torch import path: reference code can ``torch.load`` the result and
+    ``load_state_dict(strict=False)`` it onto DenseFCNResNet152."""
+    import os
+
+    import jax
+
+    from rcvpose_tpu import train
+    from rcvpose_tpu.checkpoint import Checkpointer, export_torch_checkpoint
+
+    state = train.create_state(cfg, jax.random.PRNGKey(0),
+                               sample_shape=(1, 64, 64, 3))
+    ckpt = Checkpointer(cfg.model_dir)
+    best = os.path.isdir(os.path.join(cfg.model_dir, "model_best"))
+    state, epoch, iteration, _ = ckpt.restore(state, best=best)
+    out = cfg.export_path or os.path.join(cfg.model_dir, "exported.pth.tar")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    export_torch_checkpoint(variables, out, epoch=epoch, iteration=iteration)
+    print(f"exported {'model_best' if best else 'ckpt'} -> {out}")
+    return out
+
+
 def main(argv=None):
     cfg = config_from_args(argv)
     if cfg.mode == "train":
@@ -226,6 +257,8 @@ def main(argv=None):
         run_test(cfg)
     elif cfg.mode == "gen-labels":
         run_gen_labels(cfg)
+    elif cfg.mode == "export-torch":
+        run_export_torch(cfg)
     else:
         import os
         import runpy

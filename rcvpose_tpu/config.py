@@ -72,6 +72,9 @@ class Config:
     test_occ: bool = False
     fake_depth: bool = False          # gen-labels: write meter-valued
     #   FakeDepth/ maps (reference depthGeneration, 3DRadius_lm.py:14)
+    # --- export ---
+    export_path: str = ""             # export-torch output .pth.tar ("" =
+    #   <model_dir>/exported.pth.tar)
     # --- infra ---
     distributed: bool = False         # multi-host: jax.distributed.initialize
     out_dir: str = "logs"

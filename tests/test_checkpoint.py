@@ -88,3 +88,76 @@ def test_torch_import_ignores_bookkeeping(rng):
     out = checkpoint.import_torch_state_dict(sd)
     assert out["params"] == {}
     assert out["batch_stats"] == {}
+
+
+def test_export_torch_cli_round_trip(tmp_path):
+    """--mode export-torch: orbax ckpt -> reference .pth.tar whose keys are
+    derived from the variable tree (checkpoint.reference_state_dict_keys,
+    self-checked against torch_key_to_flax); re-importing reproduces the
+    exact parameters."""
+    import jax
+    import torch
+
+    from rcvpose_tpu import cli, train
+    from rcvpose_tpu.checkpoint import Checkpointer
+    from rcvpose_tpu.config import Config
+
+    cfg = Config(model_blocks="1,1,1,1", model_width=0.125,
+                 compute_dtype="float32", image_height=32, image_width=32)
+    state = train.create_state(cfg, jax.random.PRNGKey(1),
+                               sample_shape=(1, 32, 32, 3))
+    ckpt_dir = str(tmp_path / "ckpts")
+    Checkpointer(ckpt_dir).save(state, epoch=3, iteration=17,
+                                best_val=0.5, is_best=True)
+
+    out = str(tmp_path / "exported.pth.tar")
+    cli.main(["--mode", "export-torch", "--model_dir", ckpt_dir,
+              "--export_path", out, "--model_blocks", "1,1,1,1",
+              "--model_width", "0.125", "--compute_dtype", "float32"])
+
+    payload = torch.load(out, map_location="cpu", weights_only=False)
+    assert payload["epoch"] == 3 and payload["iteration"] == 17
+    back = checkpoint.import_torch_state_dict(
+        {k: v.numpy() for k, v in payload["model_state_dict"].items()})
+    flat_orig = jax.tree_util.tree_leaves_with_path(
+        {"params": state.params, "batch_stats": state.batch_stats})
+    flat_back = jax.tree_util.tree_leaves_with_path(back)
+    orig = {jax.tree_util.keystr(p): np.asarray(v) for p, v in flat_orig}
+    rt = {jax.tree_util.keystr(p): np.asarray(v) for p, v in flat_back}
+    assert set(orig) == set(rt)
+    for k in orig:
+        np.testing.assert_array_equal(orig[k], rt[k], err_msg=k)
+
+
+def test_export_keys_match_reference_model_exactly():
+    """The generated key list must be precisely the loadable subset of the
+    real reference model's state dict (everything except bookkeeping and
+    the dead never-used non-projecting upsample_ params)."""
+    import sys
+
+    import jax
+
+    from rcvpose_tpu import train
+    from rcvpose_tpu.config import Config
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.fcnresnet import DenseFCNResNet152 as TorchDense
+    except Exception:
+        import pytest
+        pytest.skip("reference torch model unavailable")
+    finally:
+        sys.path.pop(0)
+
+    torch_model = TorchDense(3, 2)
+    ref_keys = set(torch_model.state_dict().keys())
+    cfg = Config(model_blocks="", model_width=1.0, compute_dtype="float32")
+    model = train.build_model(cfg)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 3), np.float32), False))
+    ours = set(checkpoint.reference_state_dict_keys(variables))
+    assert ours <= ref_keys
+    missing = ref_keys - ours
+    for k in missing:
+        assert "num_batches_tracked" in k or "upsample_" in k, k
