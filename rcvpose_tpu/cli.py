@@ -49,6 +49,9 @@ def build_parser():
                         choices=["dense", "res"])
     parser.add_argument("--compute_dtype", default=defaults.compute_dtype,
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize encoder blocks in backward "
+                             "(bigger train batches per chip, PERF.md)")
     parser.add_argument("--fast_head", action="store_true",
                         help="conv7/conv8 head at H/2 + upsampled output "
                              "(faster forward; not the reference forward — "

@@ -45,6 +45,9 @@ class Config:
     #   a TPU-first extension: one forward serves all keypoints (~3x less
     #   net compute per frame than the reference's per-keypoint networks)
     compute_dtype: str = "bfloat16"   # bfloat16 | float32
+    remat: bool = False               # checkpoint encoder blocks in the
+    #   backward (jax.checkpoint): lifts the max training batch per chip
+    #   at a measured recompute cost (PERF.md)
     fast_head: bool = False           # conv7/conv8 at H/2 + upsampled thin
     #   output (TPU-first extension; same param tree, not the reference
     #   forward — accuracy/perf characterization in PERF.md)

@@ -236,6 +236,11 @@ class _Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     blocks: Sequence[int] = RESNET152_BLOCKS
     width: float = 1.0
+    remat: bool = False  # rematerialize bottleneck activations in backward
+    #   (jax.checkpoint per block): trades one extra block forward for not
+    #   storing the 3 intra-block activations — lifts the max training
+    #   batch on a 16 GB chip (see PERF.md for the measured throughput
+    #   tradeoff). Inference is unaffected (no backward).
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -248,15 +253,17 @@ class _Encoder(nn.Module):
         y = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))   # H/4
 
+        block = nn.remat(Bottleneck, static_argnums=(2,)) if self.remat \
+            else Bottleneck
         stage_channels = tuple(w(c) for c in (64, 128, 256, 512))
         skips = []
         for s, (depth, ch) in enumerate(zip(self.blocks, stage_channels)):
             stride = 1 if s == 0 else 2
-            y = Bottleneck(ch, stride=stride, project=True, dtype=self.dtype,
-                           name=f"block{s + 1}up")(y, train)
+            y = block(ch, stride=stride, project=True, dtype=self.dtype,
+                      name=f"block{s + 1}up")(y, train)
             for i in range(1, depth):
-                y = Bottleneck(ch, dtype=self.dtype,
-                               name=f"block{s + 1}_{i}")(y, train)
+                y = block(ch, dtype=self.dtype,
+                          name=f"block{s + 1}_{i}")(y, train)
             skips.append(y)
         x2s, x4s, x8s, x16s = skips          # H/4 .. H/32
         return x, x2s, x4s, x8s, x16s
@@ -275,6 +282,7 @@ class DenseFCNResNet152(nn.Module):
     dtype: jnp.dtype = jnp.float32
     blocks: Sequence[int] = RESNET152_BLOCKS  # shallower for tests
     width: float = 1.0                        # fractional for tests only
+    remat: bool = False      # checkpoint encoder blocks (see _Encoder.remat)
     fast_head: bool = False  # TPU-first extension: run the conv7/conv8 head
     #   BEFORE the final 2x upsample (1/4 the pixels for the costliest
     #   full-resolution stage) and bilinearly upsample the thin 2K-channel
@@ -289,6 +297,7 @@ class DenseFCNResNet152(nn.Module):
         xc, x2s, x4s, x8s, x16s = _Encoder(dtype=self.dtype,
                                            blocks=self.blocks,
                                            width=self.width,
+                                           remat=self.remat,
                                            name="encoder")(x, train)
         x32s = nn.Conv(w(1024), (3, 3), padding=1, dtype=self.dtype,
                        name="conv6")(x16s)
@@ -364,6 +373,7 @@ class ResFCNResNet152(nn.Module):
     dtype: jnp.dtype = jnp.float32
     blocks: Sequence[int] = RESNET152_BLOCKS
     width: float = 1.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -372,6 +382,7 @@ class ResFCNResNet152(nn.Module):
         xc, x2s, x4s, x8s, x16s = _Encoder(dtype=self.dtype,
                                            blocks=self.blocks,
                                            width=self.width,
+                                           remat=self.remat,
                                            name="encoder")(x, train)
         up = jax_resize2x(x16s)
         lift = MMConv(w(2048), 1, dtype=self.dtype, name="conv_up4_1")(x8s)

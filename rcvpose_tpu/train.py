@@ -68,6 +68,8 @@ def build_model(cfg, blocks=None, width=None):
                   output_channels=2 * getattr(cfg, "kpt_heads", 1))
     if cfg.model == "dense" and getattr(cfg, "fast_head", False):
         kwargs["fast_head"] = True  # DenseFCN-only extension
+    if getattr(cfg, "remat", False):
+        kwargs["remat"] = True
     if blocks is None and getattr(cfg, "model_blocks", ""):
         blocks = [int(b) for b in cfg.model_blocks.split(",")]
     if width is None and getattr(cfg, "model_width", 1.0) != 1.0:

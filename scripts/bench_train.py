@@ -6,7 +6,7 @@ driver's critical path. Batches live on device; the step is chained in one
 fori_loop, so host/tunnel feeding costs are excluded — this is the number
 the pjit DP trainer sees per chip once an input pipeline keeps up.
 
-Usage: python scripts/bench_train.py [batch] [height] [width]
+Usage: python scripts/bench_train.py [batch] [height] [width] [--remat]
 """
 import os
 import sys
@@ -20,9 +20,11 @@ import numpy as np
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    h = int(sys.argv[2]) if len(sys.argv) > 2 else 480
-    w = int(sys.argv[3]) if len(sys.argv) > 3 else 640
+    remat = "--remat" in sys.argv
+    argv = [a for a in sys.argv if a != "--remat"]
+    batch = int(argv[1]) if len(argv) > 1 else 4
+    h = int(argv[2]) if len(argv) > 2 else 480
+    w = int(argv[3]) if len(argv) > 3 else 640
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -33,7 +35,7 @@ def main():
     from rcvpose_tpu.config import Config
 
     cfg = Config(compute_dtype="bfloat16", image_height=h, image_width=w,
-                 batch_size=batch)
+                 batch_size=batch, remat=remat)
     state = train_mod.create_state(cfg, jax.random.PRNGKey(0),
                                    sample_shape=(1, 64, 64, 3))
     rng = np.random.default_rng(0)
@@ -70,7 +72,8 @@ def main():
     print(json.dumps({
         "metric": "train_step_ms", "value": round(best * 1e3, 2),
         "imgs_per_sec": round(batch / best, 2), "batch": batch,
-        "resolution": [h, w], "backend": jax.default_backend(),
+        "resolution": [h, w], "remat": remat,
+        "backend": jax.default_backend(),
         "model": "DenseFCNResNet152 (full, bf16 compute, f32 params)"}))
 
 

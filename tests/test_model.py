@@ -167,6 +167,36 @@ def test_mmconv_custom_vjp_matches_autodiff_and_nn_conv():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_remat_same_outputs_gradients_param_tree(small_input):
+    """remat=True (encoder-block jax.checkpoint) changes scheduling only:
+    same parameter tree, same outputs, differentiable."""
+    import jax.numpy as jnp
+
+    ref = DenseFCNResNet152(blocks=TINY, width=0.125)
+    rem = DenseFCNResNet152(blocks=TINY, width=0.125, remat=True)
+    v = ref.init(jax.random.PRNGKey(0), small_input, False)
+    v2 = rem.init(jax.random.PRNGKey(0), small_input, False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    seg_a, rad_a = ref.apply(v, small_input, False)
+    seg_b, rad_b = rem.apply(v, small_input, False)
+    np.testing.assert_allclose(np.asarray(seg_a), np.asarray(seg_b),
+                               atol=1e-6)
+
+    def loss(params, model):
+        (seg, rad), _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            small_input, True, mutable=["batch_stats"])
+        return jnp.mean(seg ** 2) + jnp.mean(rad ** 2)
+
+    g_a = jax.grad(loss)(v["params"], ref)
+    g_b = jax.grad(loss)(v["params"], rem)
+    flat_a = jax.tree_util.tree_leaves(g_a)
+    flat_b = jax.tree_util.tree_leaves(g_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_fast_head_shapes_and_param_tree(small_input):
     """fast_head runs conv7/conv8 at H/2 + upsamples the thin output: same
     full-res output shapes and the IDENTICAL parameter tree (torch
