@@ -179,3 +179,19 @@ def test_estimate_6d_pose_ycb_real_format(tmp_path, rng):
     assert res["adds_auc_before_icp"] >= 0.8, res
     assert res["adds_auc_after_icp"] >= res["adds_auc_before_icp"] - 1e-6
     assert any("AUC" in ln for ln in lines)
+
+
+def test_lmo_defaults_to_saturated_vote_topk():
+    """LMO eval runs the hier accumulator at the measured saturation point
+    (topk=64, PERF.md sweep) unless the user set --vote_topk; an explicit
+    setting always wins and the caller's cfg is never mutated."""
+    from rcvpose_tpu.config import Config
+    from rcvpose_tpu.eval import _occluded_eval_cfg
+
+    cfg = Config()
+    out = _occluded_eval_cfg(cfg)
+    assert out.vote_topk == 64
+    assert cfg.vote_topk is None  # replace, not mutate
+
+    cfg2 = Config(vote_topk=16)
+    assert _occluded_eval_cfg(cfg2) is cfg2
