@@ -238,6 +238,8 @@ def _orbax_variables(path):
     ``ckpt``) or a bare saved-payload directory."""
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)  # orbax rejects relative paths, and the
+    #   CLI default --model_dir ("ckpts") is relative
     for name in ("model_best", "ckpt"):
         sub = os.path.join(path, name)
         if os.path.isdir(sub):

@@ -90,3 +90,25 @@ def test_full_frame_pose_recovery(rng):
         False, jnp.maximum(score_bf, 1.0), icp_iters=15)
     assert float(score_af) <= float(score_bf) + 1e-3
     assert float(score_af) < 10.0, float(score_af)
+
+
+def test_e2e_ycb_pipeline_smoke(tmp_path):
+    """Plumbing smoke of scripts/e2e_ycb_tpu.py --small: production Trainer
+    -> orbax fused checkpoint -> real on-disk YCB tree -> the production
+    YCB evaluator consumes every frame and emits the AUC JSON line. (The
+    2-step tiny net learns nothing; accuracy is asserted by the full TPU
+    run recorded in E2E.md.)"""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "e2e_ycb_tpu.py"),
+         "--small", "--out", str(tmp_path)],
+        capture_output=True, text=True, timeout=540, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    record = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert record["frames"] == 2
+    assert record["metric"] == "e2e_ycb_adds_auc_after_icp"

@@ -112,3 +112,17 @@ def test_fused_source_runs_one_forward_per_frame():
     assert sum(calls) == 1
     src.maps(1, img, "000002")  # new frame -> one more forward
     assert sum(calls) == 2
+
+
+def test_orbax_variables_accepts_relative_path(tmp_path, monkeypatch):
+    """The CLI default --model_dir ('ckpts') is relative; orbax rejects
+    relative paths, so _orbax_variables must abspath before restoring.
+    Regression: the learned-YCB e2e run failed exactly here."""
+    from rcvpose_tpu import eval as eval_mod
+
+    cfg = Config(model_blocks="1,1,1,1", model_width=0.125,
+                 compute_dtype="float32", image_height=32, image_width=32)
+    _train_and_save(cfg, str(tmp_path / "ckpts" / "ape_pt1"))
+    monkeypatch.chdir(tmp_path)
+    variables = eval_mod._orbax_variables(os.path.join("ckpts", "ape_pt1"))
+    assert "params" in variables and "batch_stats" in variables
