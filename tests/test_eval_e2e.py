@@ -112,3 +112,27 @@ def test_e2e_ycb_pipeline_smoke(tmp_path):
     record = json.loads(proc.stdout.strip().splitlines()[-1])
     assert record["frames"] == 2
     assert record["metric"] == "e2e_ycb_adds_auc_after_icp"
+
+
+def test_e2e_lmo_pipeline_smoke(tmp_path):
+    """Plumbing smoke of scripts/e2e_lmo_tpu.py --small: production Trainer
+    -> orbax fused checkpoint -> real on-disk Occlusion-LINEMOD tree -> the
+    production LMO evaluator consumes exactly the posed frames (the
+    poseless frame exercises the reference's skip path) and emits the JSON
+    line. (The 2-step tiny net learns nothing; accuracy is asserted by the
+    full TPU run recorded in E2E.md.)"""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "e2e_lmo_tpu.py"),
+         "--small", "--out", str(tmp_path)],
+        capture_output=True, text=True, timeout=540, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    record = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert record["frames"] == 2          # 3 written, 1 poseless skipped
+    assert record["frames_written"] == 3
+    assert record["metric"] == "e2e_lmo_add_after_icp"
