@@ -35,13 +35,13 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from e2e_fused_train import train_fused_checkpoint  # noqa: E402
 from e2e_synthetic_tpu import (  # noqa: E402
     DIAMETER_M, KEYPOINTS_M, make_object, random_pose, render_frame)
 
@@ -113,7 +113,6 @@ def main():
     args.out = os.path.abspath(args.out)
 
     import jax
-    import jax.numpy as jnp
 
     if args.small:
         jax.config.update("jax_platforms", "cpu")
@@ -123,9 +122,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from rcvpose_tpu import eval as eval_mod
-    from rcvpose_tpu import geometry, labels, parallel
-    from rcvpose_tpu import train as train_mod
-    from rcvpose_tpu.checkpoint import Checkpointer
+    from rcvpose_tpu import geometry
     from rcvpose_tpu.config import Config
     from rcvpose_tpu.ops.voting import suggest_grid_l
 
@@ -159,57 +156,15 @@ def main():
         np.linalg.norm(cad_m - KEYPOINTS_M[i + 1], axis=1).max() * 10.0
         for i in range(3)], np.float32)
 
-    # --- train the fused net (same recipe as e2e_ycb_tpu) ---
+    # --- train the fused net (shared recipe, e2e_fused_train.py) ---
     cfg = Config(compute_dtype="float32" if small else "bfloat16",
                  image_height=h, image_width=w, batch_size=batch,
                  initial_lr=3e-4, max_iterations=steps, kpt_heads=3, **arch)
-    mesh = parallel.data_mesh(1)
-    p_steps = train_mod.make_parallel_steps(mesh)
-
-    label_fn = jax.jit(jax.vmap(
-        lambda d, p, kp, mr: labels.radial_labels(
-            d, (d > 0).astype(np.float32), p, kp, jnp.asarray(k), mr),
-        in_axes=(0, 0, None, None)))
-    images_norm = np.asarray(
-        jax.jit(jax.vmap(labels.normalize_image))(images[:n_train]))
-    per = [np.asarray(a) for i in range(3)
-           for a in label_fn(jnp.asarray(depths[:n_train]),
-                             jnp.asarray(poses[:n_train], jnp.float32),
-                             jnp.asarray(KEYPOINTS_M[i + 1], jnp.float32),
-                             jnp.float32(max_radii_dm[i]))]
-    radial_all = np.stack(per[0::2], axis=-1)
-    sem_all = np.stack(per[1::2], axis=-1)
-
-    state = train_mod.create_state(
-        cfg, jax.random.PRNGKey(0), steps_per_epoch=n_train // batch,
-        blocks=blocks, width=width, sample_shape=(1, 64, 64, 3))
-
-    def train_batches(epoch):
-        order = np.random.default_rng(epoch * 7).permutation(n_train)
-        for s in range(0, n_train - batch + 1, batch):
-            idx = order[s:s + batch]
-            yield {"image": jnp.asarray(images_norm[idx]),
-                   "radial": jnp.asarray(radial_all[idx]),
-                   "sem": jnp.asarray(sem_all[idx])}
-
-    def val_batches():
-        yield {"image": jnp.asarray(images_norm[:batch]),
-               "radial": jnp.asarray(radial_all[:batch]),
-               "sem": jnp.asarray(sem_all[:batch])}
-
     model_dir = os.path.join(args.out, "ckpts")
-    ckpt = Checkpointer(os.path.join(model_dir, class_name))
-    trainer = train_mod.Trainer(
-        cfg=cfg, state=state, mesh=mesh, train_batches=train_batches,
-        val_batches=val_batches, checkpointer=None, steps=p_steps)
-    t0 = time.time()
-    max_epochs = -(-steps * batch // n_train)
-    trainer.fit(max_epochs=max_epochs)
-    val = trainer.validate(max_epochs)
-    print(f"fused: {trainer.iteration} steps in {time.time() - t0:.1f} s, "
-          f"val loss {val:.4f}", file=sys.stderr)
-    ckpt.save(trainer.state, epoch=max_epochs, iteration=trainer.iteration,
-              best_val=val, is_best=False)
+    train_fused_checkpoint(cfg, images, depths, poses, KEYPOINTS_M,
+                           max_radii_dm, k, n_train,
+                           os.path.join(model_dir, class_name),
+                           blocks=blocks, width=width)
 
     # --- write held-out frames (+1 poseless frame) as a real LMO tree ---
     ds_root = os.path.join(args.out, "dataset")
