@@ -70,6 +70,10 @@ def build_parser():
                         help="hier coarse-stage point subsample (default 4)")
     parser.add_argument("--vote_win", type=int, default=defaults.vote_win,
                         help="hier refine window side (default 8)")
+    parser.add_argument("--max_points", type=int,
+                        default=defaults.max_points,
+                        help="padded point-cloud size for voting")
+    parser.add_argument("--icp_iters", type=int, default=defaults.icp_iters)
     parser.add_argument("--using_ckpts", action="store_true", default=True)
     parser.add_argument("--no_ckpts", dest="using_ckpts",
                         action="store_false",
@@ -257,7 +261,17 @@ def main(argv=None):
     if cfg.mode == "train":
         run_train(cfg)
     elif cfg.mode == "test":
-        run_test(cfg)
+        results = run_test(cfg)
+        # the reference only *prints* its final ADD(s) lines
+        # (AccumulatorSpace.py:735-740); also persist them machine-readably
+        import json
+        import os
+
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        path = os.path.join(cfg.out_dir, "eval_results.json")
+        with open(path, "w") as f:
+            json.dump(results, f, indent=2, default=float)
+        print(f"eval results written to {path}")
     elif cfg.mode == "gen-labels":
         run_gen_labels(cfg)
     elif cfg.mode == "export-torch":

@@ -103,6 +103,29 @@ def test_run_test_end_to_end(tmp_path):
     assert results["ape"]["add_after_icp"] == 1.0
 
 
+def test_main_test_mode_writes_results_json(tmp_path):
+    """cli.main --mode test persists the per-class results machine-readably
+    (the reference only prints, AccumulatorSpace.py:735-740)."""
+    import json
+
+    import numpy as np
+
+    from tests.test_eval_lm_format import make_lm_eval_tree
+
+    rng = np.random.default_rng(0)
+    root = make_lm_eval_tree(tmp_path, rng)
+    out_dir = str(tmp_path / "logs")
+    cli.main([
+        "--mode", "test", "--root_dataset", root, "--no_ckpts",
+        "--compute_dtype", "float32", "--vote_grid_l", "96",
+        "--max_points", "2048", "--eval_classes", "ape",
+        "--out_dir", out_dir])
+    with open(os.path.join(out_dir, "eval_results.json")) as f:
+        results = json.load(f)
+    assert results["ape"]["frames"] == 2
+    assert results["ape"]["add_after_icp"] == 1.0
+
+
 def test_run_gen_labels_accepts_both_roots(tmp_path):
     """gen-labels works with --root_dataset pointing at the LINEMOD dir's
     PARENT (the test mode's convention) as well as the dir itself."""
