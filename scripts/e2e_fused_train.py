@@ -8,19 +8,43 @@ orbax-checkpoint where ``--mode test`` looks (eval._load_models).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
 
+def setup_jax(small):
+    """Pin the CPU backend for ``--small`` smokes and point the persistent
+    compilation cache at the repo's ``.jax_cache/`` (shared by every e2e
+    proof script)."""
+    import jax
+
+    if small:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def per_kpt_max_radii_dm(cad_m, keypoints_m):
+    """Per-keypoint radius clips for keypoints 1..3, in decimeters
+    (the reference's max CAD-vertex distance x10, rmap_dataset.py:53-56)."""
+    return np.array([
+        np.linalg.norm(cad_m - keypoints_m[i + 1], axis=1).max() * 10.0
+        for i in range(3)], np.float32)
+
+
 def train_fused_checkpoint(cfg, images, depths, poses, keypoints_m,
-                           max_radii_dm, k, n_train, ckpt_dir,
-                           blocks=None, width=None):
+                           max_radii_dm, k, n_train, ckpt_dir):
     """Train on the first ``n_train`` frames and checkpoint to ``ckpt_dir``.
 
     ``keypoints_m`` rows 1..3 are the trained keypoints (the reference's
-    Outside9 convention, rmap_dataset.py:43-51). Returns (iteration, val).
+    Outside9 convention, rmap_dataset.py:43-51). Model depth/width come
+    from ``cfg.model_blocks``/``cfg.model_width`` (train.build_model).
+    Returns (iteration, val).
     """
     import jax
     import jax.numpy as jnp
@@ -31,6 +55,11 @@ def train_fused_checkpoint(cfg, images, depths, poses, keypoints_m,
 
     batch = cfg.batch_size
     steps = cfg.max_iterations
+    if n_train % batch:
+        # train_batches drops the tail and max_epochs assumes it doesn't;
+        # a non-multiple would silently undertrain (or train zero steps)
+        raise ValueError(f"n_train={n_train} must be a multiple of the "
+                         f"batch size {batch}")
     mesh = parallel.data_mesh(1)
     p_steps = train_mod.make_parallel_steps(mesh)
 
@@ -40,9 +69,10 @@ def train_fused_checkpoint(cfg, images, depths, poses, keypoints_m,
         in_axes=(0, 0, None, None)))
     images_norm = np.asarray(
         jax.jit(jax.vmap(labels.normalize_image))(images[:n_train]))
+    depths_j = jnp.asarray(depths[:n_train])
+    poses_j = jnp.asarray(poses[:n_train], jnp.float32)
     per = [np.asarray(a) for i in range(3)
-           for a in label_fn(jnp.asarray(depths[:n_train]),
-                             jnp.asarray(poses[:n_train], jnp.float32),
+           for a in label_fn(depths_j, poses_j,
                              jnp.asarray(keypoints_m[i + 1], jnp.float32),
                              jnp.float32(max_radii_dm[i]))]
     radial_all = np.stack(per[0::2], axis=-1)
@@ -50,7 +80,7 @@ def train_fused_checkpoint(cfg, images, depths, poses, keypoints_m,
 
     state = train_mod.create_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=n_train // batch,
-        blocks=blocks, width=width, sample_shape=(1, 64, 64, 3))
+        sample_shape=(1, 64, 64, 3))
 
     def train_batches(epoch):
         order = np.random.default_rng(epoch * 7).permutation(n_train)

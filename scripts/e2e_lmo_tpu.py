@@ -41,7 +41,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from e2e_fused_train import train_fused_checkpoint  # noqa: E402
+from e2e_fused_train import (  # noqa: E402
+    per_kpt_max_radii_dm, setup_jax, train_fused_checkpoint)
 from e2e_synthetic_tpu import (  # noqa: E402
     DIAMETER_M, KEYPOINTS_M, make_object, random_pose, render_frame)
 
@@ -63,14 +64,11 @@ def aimed_poses(rng, n_frames, k, px_range, py_range, z_range):
 
 def write_ascii_ply_m(path, pts_m):
     """Meter-valued ascii ply — the eval-path CAD convention
-    (reference AccumulatorSpace.py:544-549, 663-667)."""
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n"
-                f"element vertex {len(pts_m)}\n"
-                "property float x\nproperty float y\nproperty float z\n"
-                "end_header\n")
-        for p in pts_m:
-            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+    (reference AccumulatorSpace.py:544-549, 663-667). Reuses the test
+    fixtures' writer (repo root is on sys.path above)."""
+    from tests.test_data import write_ascii_ply
+
+    write_ascii_ply(path, pts_m)
 
 
 def write_lmo_tree(root, class_name, cad_m, poses, images, depths):
@@ -114,12 +112,7 @@ def main():
 
     import jax
 
-    if args.small:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    setup_jax(args.small)
 
     from rcvpose_tpu import eval as eval_mod
     from rcvpose_tpu import geometry
@@ -140,7 +133,6 @@ def main():
     n_test = 2 if small else 8
     steps = args.steps or (2 if small else 600)
     batch = 2 if small else 8
-    blocks, width = ((1, 1, 1, 1), 0.125) if small else (None, None)
     arch = dict(model_blocks="1,1,1,1", model_width=0.125) if small else {}
     class_name = "ape"  # any LMO class; CAD/keypoints are synthetic anyway
 
@@ -152,9 +144,7 @@ def main():
     images = np.stack([f[0] for f in frames])
     depths = np.stack([f[1] for f in frames])
 
-    max_radii_dm = np.array([
-        np.linalg.norm(cad_m - KEYPOINTS_M[i + 1], axis=1).max() * 10.0
-        for i in range(3)], np.float32)
+    max_radii_dm = per_kpt_max_radii_dm(cad_m, KEYPOINTS_M)
 
     # --- train the fused net (shared recipe, e2e_fused_train.py) ---
     cfg = Config(compute_dtype="float32" if small else "bfloat16",
@@ -163,8 +153,7 @@ def main():
     model_dir = os.path.join(args.out, "ckpts")
     train_fused_checkpoint(cfg, images, depths, poses, KEYPOINTS_M,
                            max_radii_dm, k, n_train,
-                           os.path.join(model_dir, class_name),
-                           blocks=blocks, width=width)
+                           os.path.join(model_dir, class_name))
 
     # --- write held-out frames (+1 poseless frame) as a real LMO tree ---
     ds_root = os.path.join(args.out, "dataset")

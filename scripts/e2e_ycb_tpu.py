@@ -35,7 +35,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from e2e_fused_train import train_fused_checkpoint  # noqa: E402
+from e2e_fused_train import (  # noqa: E402
+    per_kpt_max_radii_dm, setup_jax, train_fused_checkpoint)
 from e2e_synthetic_tpu import (  # noqa: E402
     DIAMETER_M, KEYPOINTS_M, build_dataset, make_object)
 
@@ -91,12 +92,7 @@ def main():
 
     import jax
 
-    if args.small:
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    setup_jax(args.small)
 
     from rcvpose_tpu import eval as eval_mod
     from rcvpose_tpu.config import Config
@@ -112,9 +108,8 @@ def main():
     n_test = 2 if small else 8
     steps = args.steps or (2 if small else 600)
     batch = 2 if small else 8
-    blocks, width = ((1, 1, 1, 1), 0.125) if small else (None, None)
-    # eval._load_models rebuilds the net from the config, so the smoke
-    # run's tiny architecture must ride in the config fields too
+    # the smoke's tiny architecture rides in the config fields: both
+    # train.build_model and eval._load_models rebuild the net from these
     arch = dict(model_blocks="1,1,1,1", model_width=0.125) if small else {}
     class_name = "003_cracker_box"
     class_id = {v: kk for kk, v in eval_mod.YCB_CLASS_NAMES.items()}[
@@ -125,9 +120,7 @@ def main():
     poses, images, depths = build_dataset(
         rng, n_train + n_test, pts_m, colors, k, h, w)
 
-    max_radii_dm = np.array([
-        np.linalg.norm(cad_m - KEYPOINTS_M[i + 1], axis=1).max() * 10.0
-        for i in range(3)], np.float32)
+    max_radii_dm = per_kpt_max_radii_dm(cad_m, KEYPOINTS_M)
 
     # --- train the fused net (shared recipe, e2e_fused_train.py) ---
     cfg = Config(compute_dtype="float32" if small else "bfloat16",
@@ -136,8 +129,7 @@ def main():
     model_dir = os.path.join(args.out, "ckpts")
     train_fused_checkpoint(cfg, images, depths, poses, KEYPOINTS_M,
                            max_radii_dm, k, n_train,
-                           os.path.join(model_dir, class_name),
-                           blocks=blocks, width=width)
+                           os.path.join(model_dir, class_name))
 
     # --- write the held-out frames as a real YCB tree ---
     ds_root = os.path.join(args.out, "dataset")

@@ -103,27 +103,28 @@ def test_run_test_end_to_end(tmp_path):
     assert results["ape"]["add_after_icp"] == 1.0
 
 
-def test_main_test_mode_writes_results_json(tmp_path):
+def test_main_test_mode_writes_results_json(tmp_path, monkeypatch):
     """cli.main --mode test persists the per-class results machine-readably
-    (the reference only prints, AccumulatorSpace.py:735-740)."""
+    (the reference only prints, AccumulatorSpace.py:735-740). The evaluator
+    itself is covered by test_run_test_end_to_end; here it is stubbed (with
+    numpy scalars, which json.dump needs default=float for) so only the
+    persistence branch runs."""
     import json
 
     import numpy as np
 
-    from tests.test_eval_lm_format import make_lm_eval_tree
-
-    rng = np.random.default_rng(0)
-    root = make_lm_eval_tree(tmp_path, rng)
+    canned = {"ape": {"frames": 2, "add_after_icp": np.float32(1.0)}}
+    monkeypatch.setattr(cli, "run_test", lambda cfg: canned)
     out_dir = str(tmp_path / "logs")
-    cli.main([
-        "--mode", "test", "--root_dataset", root, "--no_ckpts",
-        "--compute_dtype", "float32", "--vote_grid_l", "96",
-        "--max_points", "2048", "--eval_classes", "ape",
-        "--out_dir", out_dir])
+    cli.main(["--mode", "test", "--max_points", "2048",
+              "--icp_iters", "7", "--out_dir", out_dir])
     with open(os.path.join(out_dir, "eval_results.json")) as f:
         results = json.load(f)
     assert results["ape"]["frames"] == 2
     assert results["ape"]["add_after_icp"] == 1.0
+    # the new eval knobs reach the Config
+    cfg = cli.config_from_args(["--max_points", "2048", "--icp_iters", "7"])
+    assert cfg.max_points == 2048 and cfg.icp_iters == 7
 
 
 def test_run_gen_labels_accepts_both_roots(tmp_path):
