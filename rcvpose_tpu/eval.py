@@ -550,8 +550,11 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
 
     Reference quirks *not* reproduced (they are latent bugs, SURVEY.md §2.1
     #25): model_list is indexed consistently per keypoint, the Horn fit uses
-    keypoints[1:4] like the LINEMOD path, and depth pixels are aligned with
-    radial values (sem AND depth > 0).
+    keypoints[1:4] like the LINEMOD path, depth pixels are aligned with
+    radial values (sem AND depth > 0), and radial maps are clipped by the
+    per-keypoint max radius like the LM/LMO paths (:604-607, :838-849 —
+    the reference's YCB loop computes no clip at all, :1049-1055, letting
+    arbitrarily large regressed radii vote).
     """
     import h5py
     import scipy.io
