@@ -106,6 +106,15 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--model_width", type=float, default=None,
+                    help="override the net width fraction (e.g. 0.5 for a "
+                         "CPU-learnable mid-size run)")
+    ap.add_argument("--model_blocks", default=None,
+                    help="override encoder block counts, e.g. '2,4,6,2'")
+    ap.add_argument("--test_frames", type=int, default=None)
+    ap.add_argument("--max_points", type=int, default=None,
+                    help="vote point budget override (small default 1024 "
+                         "can truncate large masks)")
     ap.add_argument("--out", default="logs/e2e_lmo")
     args = ap.parse_args()
     args.out = os.path.abspath(args.out)
@@ -130,10 +139,14 @@ def main():
         h, w = 256, 320
         px_range, py_range, z_range = (80, 240), (80, 176), (0.78, 1.0)
     n_train = args.frames or (8 if small else 48)
-    n_test = 2 if small else 8
+    n_test = args.test_frames or (2 if small else 8)
     steps = args.steps or (2 if small else 600)
     batch = 2 if small else 8
     arch = dict(model_blocks="1,1,1,1", model_width=0.125) if small else {}
+    if args.model_width is not None:
+        arch["model_width"] = args.model_width
+    if args.model_blocks is not None:
+        arch["model_blocks"] = args.model_blocks
     class_name = "ape"  # any LMO class; CAD/keypoints are synthetic anyway
 
     rng = np.random.default_rng(1)
@@ -169,7 +182,7 @@ def main():
         using_ckpts=True, kpt_heads=3, **arch,
         compute_dtype=cfg.compute_dtype,
         vote_grid_l=min(grid_l, 96) if small else grid_l,
-        max_points=1024 if small else 8192)
+        max_points=args.max_points or (1024 if small else 8192))
     results = eval_mod.estimate_6d_pose_lmo(eval_cfg,
                                             class_names=[class_name],
                                             progress=lambda s: print(
