@@ -86,6 +86,16 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--test_frames", type=int, default=None)
+    ap.add_argument("--model_width", type=float, default=None,
+                    help="override the net width fraction (e.g. 0.5 for a "
+                         "CPU-learnable mid-size run)")
+    ap.add_argument("--model_blocks", default=None,
+                    help="override encoder block counts, e.g. '2,3,4,2'")
+    ap.add_argument("--max_points", type=int, default=None,
+                    help="vote point budget override")
+    ap.add_argument("--image_hw", default=None,
+                    help="override the frame size, e.g. '128,160'")
     ap.add_argument("--out", default="logs/e2e_ycb")
     args = ap.parse_args()
     args.out = os.path.abspath(args.out)
@@ -100,17 +110,23 @@ def main():
 
     small = args.small
     h, w = (64, 64) if small else (256, 320)
+    if args.image_hw:
+        h, w = (int(v) for v in args.image_hw.split(","))
     scale = w / 640.0
     k = np.array([[572.4114 * scale, 0.0, w / 2.0],
                   [0.0, 573.5704 * scale, h / 2.0],
                   [0.0, 0.0, 1.0]], np.float32)
     n_train = args.frames or (8 if small else 48)
-    n_test = 2 if small else 8
+    n_test = args.test_frames or (2 if small else 8)
     steps = args.steps or (2 if small else 600)
     batch = 2 if small else 8
     # the smoke's tiny architecture rides in the config fields: both
     # train.build_model and eval._load_models rebuild the net from these
     arch = dict(model_blocks="1,1,1,1", model_width=0.125) if small else {}
+    if args.model_width is not None:
+        arch["model_width"] = args.model_width
+    if args.model_blocks is not None:
+        arch["model_blocks"] = args.model_blocks
     class_name = "003_cracker_box"
     class_id = {v: kk for kk, v in eval_mod.YCB_CLASS_NAMES.items()}[
         class_name]
@@ -144,7 +160,7 @@ def main():
         using_ckpts=True, kpt_heads=3, **arch,
         compute_dtype=cfg.compute_dtype,
         vote_grid_l=min(grid_l, 96) if small else grid_l,
-        max_points=1024 if small else 8192,
+        max_points=args.max_points or (1024 if small else 8192),
         icp_iters=10 if small else 30)
     results = eval_mod.estimate_6d_pose_ycb(eval_cfg, class_ids=[class_id],
                                             progress=lambda s: print(
