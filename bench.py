@@ -125,11 +125,36 @@ def build_frame_fn(cfg):
     return frame, run_frames, reps, stacked, batch_frames, model, k
 
 
+def _backend_is_reachable(timeout_s=240):
+    """Bounded probe of the default backend in a subprocess.
+
+    When the axon TPU tunnel is down, backend init inside THIS process
+    would hang for many minutes and then raise — unrecoverable once
+    attempted. A subprocess probe keeps the failure bounded so the bench
+    can fall back to an honestly-labeled CPU run instead of crashing
+    (observed 2026-08-17: tunnel unavailable for hours)."""
+    import subprocess
+    import sys
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                       timeout=timeout_s, check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
 def main():
     import sys
 
     from rcvpose_tpu.config import Config
 
+    tpu_unreachable = False
+    if not _backend_is_reachable():
+        tpu_unreachable = True
+        print("default backend unreachable; falling back to CPU smoke "
+              "numbers (NOT comparable to the TPU baseline)",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
     backend = jax.default_backend()
     from rcvpose_tpu.ops.voting import suggest_grid_l
     # LINEMOD 'ape'-class sizing: ~0.10 m diameter, ~2 dm max keypoint radius
@@ -320,7 +345,12 @@ def main():
         "mvotes_ref_equiv_per_sec": round(mvotes_ref_equiv, 1),
         "vote_grid_l": cfg.vote_grid_l,
         "vote_points": cfg.max_points,
+        "backend": backend,
     }
+    if tpu_unreachable:
+        record["note"] = ("TPU tunnel unreachable at bench time; CPU "
+                          "smoke shapes — value/vs_baseline not comparable "
+                          "to the TPU baseline")
     if dt_exact is not None:
         record["exact_vote_ms_per_kpt"] = round(dt_exact * 1e3, 3)
         record["exact_mvotes_per_sec"] = round(mvotes_exact, 1)
