@@ -57,7 +57,7 @@ def build_parser():
                              "(faster forward; not the reference forward — "
                              "see PERF.md)")
     parser.add_argument("--vote_mode", default=defaults.vote_mode,
-                        choices=["hier", "exact"])
+                        choices=["hier", "exact", "surface"])
     parser.add_argument("--vote_grid_l", type=int,
                         default=defaults.vote_grid_l)
     parser.add_argument("--vote_topk", type=int, default=defaults.vote_topk,

@@ -55,7 +55,7 @@ class Config:
     image_width: int = 640
     # --- accumulator ---
     vote_grid_l: int = 192
-    vote_mode: str = "hier"           # hier | exact
+    vote_mode: str = "hier"           # hier | exact | surface
     max_points: int = 8192            # padded point-cloud size for voting
     vote_topk: Optional[int] = None   # hier refine windows (None = 32).
     #   Default topk=32 with win=8 gives 0.83 agreement with exact mode on

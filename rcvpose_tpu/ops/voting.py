@@ -17,9 +17,12 @@ This module re-derives the op for TPU:
   test ``0 < round(r) - d < sqrt(3)/4``. Deterministic, race-free, and the
   same kernel (``rcvpose_tpu.ops.vote_pallas``) serves every mode because
   the voxel list is just data.
-* **Two accuracy modes.**
+* **Three accuracy modes.**
   - ``exact``: evaluates the full grid — reference-equivalent vote counts and
     the reference's first-in-row-major argmax tie-break.
+  - ``surface``: the reference's abandoned sphere-*surface* voting strategy
+    (``draw_sphere``/``parallel_for``, AccumulatorSpace.py:281-323), math
+    fixed and re-derived as an Andres-annulus band — see ``surface_band``.
   - ``hier``: coarse-to-fine — votes on a 4x-coarse grid with a widened band,
     then densely refines small windows around the top-K coarse peaks
     (default 8^3 windows around the top 32 — many small windows measured
@@ -83,6 +86,34 @@ def widened_band(radii_round, point_mask, slack):
     valid = point_mask & (r > 0)
     lo = jnp.where(valid, jnp.maximum(r - slack, 0.0) ** 2, 0.0)
     hi = jnp.where(valid, (r + slack) ** 2, 0.0)
+    return lo, hi
+
+
+def surface_band(radii_round, point_mask):
+    """Per-point [lo, hi] d2 bounds for the *sphere-surface* voting strategy.
+
+    The reference carries an abandoned alternative accumulator that scatters
+    each point's votes onto the discrete *surface* of its radial sphere by
+    stacking Andres midpoint circles slice by slice
+    (``AccumulatorSpace.py:165-323``: ``circle_perimeter`` -> ``draw_sphere``
+    -> ``parallel_for``; never called by ``Accumulator_3D``). Two defects
+    made it dead weight there: the slice-radius recurrence
+    ``(radius**2 - d**2) * 0.5`` at ``:291`` should be ``sqrt(radius**2 -
+    d**2)``, and the per-slice Python loops are scalar host code.
+
+    The TPU-native re-derivation dissolves both. Andres' discrete sphere is
+    by definition the voxel annulus ``r - 1/2 <= ||v - c|| < r + 1/2``
+    (E. Andres, "Discrete circles, rings and spheres", 1994 — the paper the
+    reference's circle code cites), so in the pair-evaluation form the whole
+    rasterizer collapses to a different ``[lo, hi)`` band: ``lo =
+    (r - 1/2)^2, hi = (r + 1/2)^2``. The slice radii come out as
+    ``sqrt(r^2 - d^2)`` automatically — the broken recurrence has nothing
+    to be wrong about — and the same Pallas/XLA kernels serve it unchanged.
+    """
+    r = radii_round
+    valid = point_mask & (r > 0)
+    lo = jnp.where(valid, jnp.maximum(r - 0.5, 0.0) ** 2, 0.0)
+    hi = jnp.where(valid, (r + 0.5) ** 2, 0.0)
     return lo, hi
 
 
@@ -260,7 +291,8 @@ def accumulate_3d(xyz_m, radial_dm, point_mask, grid_l=192, mode="hier",
       point_mask: (N,) bool validity.
       grid_l: static cube side (the reference's dynamic side is
         ``length + int(r_max)``; ``overflow`` reports if it exceeds grid_l).
-      mode: 'exact' or 'hier'.
+      mode: 'exact', 'surface' (Andres sphere-surface voting, the math-fixed
+        form of the reference's dead draw_sphere path) or 'hier'.
       topk/cpt_stride/win: hier-mode robustness/speed knobs (None = module
         defaults _TOPK/_CPT_STRIDE/_WIN); see _accumulate_hier.
     """
@@ -269,6 +301,9 @@ def accumulate_3d(xyz_m, radial_dm, point_mask, grid_l=192, mode="hier",
     if mode == "exact":
         return _accumulate_exact(pts, radii_round, point_mask, grid_l,
                                  means, shift, bound)
+    elif mode == "surface":
+        return _accumulate_exact(pts, radii_round, point_mask, grid_l,
+                                 means, shift, bound, band_fn=surface_band)
     elif mode == "hier":
         return _accumulate_hier(pts, radii_round, point_mask, grid_l,
                                 means, shift, bound,
@@ -279,8 +314,8 @@ def accumulate_3d(xyz_m, radial_dm, point_mask, grid_l=192, mode="hier",
 
 
 def _accumulate_exact(pts, radii_round, point_mask, grid_l, means, shift,
-                      bound):
-    lo, hi = exact_band(radii_round, point_mask)
+                      bound, band_fn=exact_band):
+    lo, hi = band_fn(radii_round, point_mask)
     votes = vote_counts(enumerate_grid(grid_l), pts, lo, hi)
     votes = votes.reshape(grid_l, grid_l, grid_l)
 
