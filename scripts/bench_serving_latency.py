@@ -1,0 +1,202 @@
+"""Open-loop serving-latency benchmark: tail latency under Poisson load.
+
+`bench.py` reports device-true *throughput* (frames chained inside one
+compiled loop — dispatch fully amortized). Production serving cares about a
+different number: the latency distribution a client sees when requests
+arrive at a given rate and must each cross the host boundary — image
+normalize + host->device transfer + one `PoseEstimator.estimate` dispatch +
+result fetch, plus any queueing when a request lands while the previous one
+is still in flight. The reference has no serving story at all (its eval
+loop is offline, AccumulatorSpace.py:564-662); this harness is part of the
+framework's production-serving surface.
+
+Method: open-loop Poisson arrivals (seeded) at `--rate` requests/s against
+the real host-facing API (`infer.PoseEstimator.estimate`, the same
+escalation-checked path `eval.py` serves from). Latency of request i =
+completion - *scheduled* arrival, so queueing delay is charged to the
+server (closed-loop "time the call" benchmarks hide it). Reports
+p50/p90/p95/p99/max, achieved throughput, and the back-to-back capacity the
+rate was derived from, as ONE JSON line.
+
+Environment note: on this host a single dispatch + result fetch rides an
+HTTP tunnel (~29 ms round trip, see PERF.md); the measured per-request
+floor here is tunnel-dominated and would drop by ~25-30 ms on a co-located
+TPU host. The JSON records `dispatch_floor_ms` (measured trivial-op round
+trip) so the two effects can be separated.
+
+Run: python scripts/bench_serving_latency.py            (TPU, ~3-6 min warm)
+     python scripts/bench_serving_latency.py --small    (CPU smoke)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def setup_jax(small):
+    import jax
+    if small:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    return jax
+
+
+def build_estimator(cfg, fused, seed=0):
+    """PoseEstimator with random weights — serving latency is
+    weight-independent (same program, same shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rcvpose_tpu import infer
+    from rcvpose_tpu import train as train_mod
+
+    model = train_mod.build_model(cfg)
+    init = lambda i: model.init(  # noqa: E731
+        jax.random.PRNGKey(seed + i), jnp.zeros((1, 64, 64, 3), jnp.float32),
+        False)
+    variables = init(0) if fused else [init(i) for i in range(3)]
+    rng = np.random.default_rng(seed)
+    keypoints = np.zeros((9, 3))
+    keypoints[1:4] = rng.normal(size=(3, 3)) * 0.05
+    return infer.PoseEstimator(cfg, variables, keypoints,
+                               max_radii_dm=np.array([2.0, 2.2, 2.4]))
+
+
+def synth_frame(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    image = (rng.uniform(0, 255, size=(h, w, 3))).astype(np.uint8)
+    depth = np.zeros((h, w), np.float32)
+    ys, xs = np.mgrid[h // 3:2 * h // 3, w // 3:2 * w // 3]
+    depth[ys, xs] = rng.uniform(600, 900, size=ys.shape).astype(np.float32)
+    return image, depth
+
+
+def one_request(jax, est, image, depth):
+    res = est.estimate(image, depth)
+    jax.block_until_ready(res["rt"])
+    return res
+
+
+def measure_dispatch_floor(jax, runs=20):
+    """Round-trip cost of one trivial dispatch + scalar fetch (the
+    environment's latency floor, independent of the model)."""
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(f(x))  # compile
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        float(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def run_openloop(jax, est, image, depth, rate_fps, n, seed):
+    """Poisson arrivals at rate_fps; FIFO service; latency vs scheduled
+    arrival (queueing charged to the server)."""
+    rng = np.random.default_rng(seed)
+    arrivals = np.cumsum(rng.exponential(1.0 / rate_fps, size=n))
+    lat = np.empty(n)
+    t0 = time.perf_counter()
+    for i in range(n):
+        target = t0 + arrivals[i]
+        now = time.perf_counter()
+        if now < target:
+            time.sleep(target - now)
+        one_request(jax, est, image, depth)
+        lat[i] = time.perf_counter() - target
+    wall = time.perf_counter() - t0
+    return lat, n / wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="CPU smoke shapes")
+    ap.add_argument("--fused", action="store_true",
+                    help="kpt_heads=3 multi-head serving")
+    ap.add_argument("--n", type=int, default=None,
+                    help="requests in the open-loop run")
+    ap.add_argument("--rate", type=float, default=None,
+                    help="offered load, req/s (default: utilization x "
+                         "measured capacity)")
+    ap.add_argument("--utilization", type=float, default=0.6,
+                    help="offered load as a fraction of capacity when "
+                         "--rate is not given")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    jax = setup_jax(args.small)
+    from rcvpose_tpu.config import Config
+    from rcvpose_tpu.ops.voting import suggest_grid_l
+
+    backend = jax.default_backend()
+    small = args.small or backend == "cpu"
+    n = args.n or (8 if small else 200)
+    if small:
+        cfg = Config(compute_dtype="float32", vote_grid_l=64,
+                     max_points=1024, vote_mode="hier",
+                     model_width=0.125, model_blocks="1,1,1,1",
+                     kpt_heads=3 if args.fused else 1)
+        h, w = 96, 128
+    else:
+        cfg = Config(compute_dtype="bfloat16",
+                     vote_grid_l=suggest_grid_l(0.102, 2.0),
+                     max_points=8192, vote_mode="hier",
+                     kpt_heads=3 if args.fused else 1)
+        h, w = 480, 640
+
+    est = build_estimator(cfg, args.fused, seed=args.seed)
+    image, depth = synth_frame(h, w, seed=args.seed)
+
+    # Warm every program the escalation loop can reach on this frame
+    # (compile happens here, not inside the measured run).
+    for _ in range(2):
+        one_request(jax, est, image, depth)
+
+    # Back-to-back capacity (closed loop, includes host boundary).
+    t0 = time.perf_counter()
+    n_cap = max(4, n // 4)
+    for _ in range(n_cap):
+        one_request(jax, est, image, depth)
+    capacity = n_cap / (time.perf_counter() - t0)
+
+    rate = args.rate or args.utilization * capacity
+    lat, achieved = run_openloop(jax, est, image, depth, rate, n, args.seed)
+    floor = measure_dispatch_floor(jax)
+
+    q = lambda p: float(np.percentile(lat, p) * 1e3)  # noqa: E731
+    record = {
+        "metric": "serving_latency_p99_ms",
+        "value": round(q(99), 2),
+        "unit": "ms",
+        "mode": "fused" if args.fused else "3-net",
+        "offered_rate_rps": round(rate, 2),
+        "achieved_rps": round(achieved, 2),
+        "capacity_rps": round(capacity, 2),
+        "p50_ms": round(q(50), 2),
+        "p90_ms": round(q(90), 2),
+        "p95_ms": round(q(95), 2),
+        "p99_ms": round(q(99), 2),
+        "max_ms": round(float(lat.max() * 1e3), 2),
+        "n_requests": n,
+        "dispatch_floor_ms": round(floor * 1e3, 2),
+        "backend": backend,
+        "image_hw": [h, w],
+    }
+    if small:
+        record["note"] = ("CPU smoke shapes/model — distribution shape "
+                          "only, not comparable to TPU numbers")
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,3 +136,27 @@ def test_e2e_lmo_pipeline_smoke(tmp_path):
     assert record["frames"] == 2          # 3 written, 1 poseless skipped
     assert record["frames_written"] == 3
     assert record["metric"] == "e2e_lmo_add_after_icp"
+
+
+def test_serving_latency_pipeline_smoke(tmp_path):
+    """Plumbing smoke of scripts/bench_serving_latency.py --small: open-loop
+    Poisson load against the real PoseEstimator host path emits one JSON
+    line with a sane latency distribution (percentiles ordered, queueing
+    counted). Real numbers come from the TPU run recorded in PERF.md."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "scripts", "bench_serving_latency.py"),
+         "--small", "--n", "6"],
+        capture_output=True, text=True, timeout=540, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    record = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert record["metric"] == "serving_latency_p99_ms"
+    assert 0 < record["p50_ms"] <= record["p95_ms"] <= record["p99_ms"]
+    assert record["capacity_rps"] > 0
+    assert record["n_requests"] == 6
