@@ -21,7 +21,7 @@ def build_parser():
     defaults = Config()
     parser.add_argument("--mode", default=defaults.mode,
                         choices=["train", "test", "benchmark", "gen-labels",
-                                 "export-torch"])
+                                 "export-torch", "serve"])
     parser.add_argument("--dname", "--dataset", dest="dataset",
                         default=defaults.dataset, choices=["lm", "lmo", "ycb"])
     parser.add_argument("--root_dataset", default=defaults.root_dataset)
@@ -74,6 +74,9 @@ def build_parser():
                         default=defaults.max_points,
                         help="padded point-cloud size for voting")
     parser.add_argument("--icp_iters", type=int, default=defaults.icp_iters)
+    parser.add_argument("--serve_host", default=defaults.serve_host)
+    parser.add_argument("--serve_port", type=int,
+                        default=defaults.serve_port)
     parser.add_argument("--using_ckpts", action="store_true", default=True)
     parser.add_argument("--no_ckpts", dest="using_ckpts",
                         action="store_false",
@@ -276,6 +279,10 @@ def main(argv=None):
         run_gen_labels(cfg)
     elif cfg.mode == "export-torch":
         run_export_torch(cfg)
+    elif cfg.mode == "serve":
+        from rcvpose_tpu import serve as serve_mod
+
+        serve_mod.run_serve(cfg)
     else:
         import os
         import runpy

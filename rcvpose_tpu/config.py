@@ -53,6 +53,9 @@ class Config:
     #   forward — accuracy/perf characterization in PERF.md)
     image_height: int = 480
     image_width: int = 640
+    # --- serving daemon (--mode serve) ---
+    serve_host: str = "127.0.0.1"
+    serve_port: int = 5555
     # --- accumulator ---
     vote_grid_l: int = 192
     vote_mode: str = "hier"           # hier | exact | surface

@@ -1,0 +1,287 @@
+"""Network pose-serving daemon — the deployment surface of the framework.
+
+The reference has no serving story: its evaluators are offline batch loops
+(``AccumulatorSpace.py:564-662``). A production framework needs a long-lived
+process on the accelerator host that keeps the compiled programs and weights
+resident and answers pose queries over the wire. This module wraps
+``infer.PoseEstimator`` (the compile-once, escalation-checked serving path)
+behind a minimal length-prefixed TCP protocol with no dependencies beyond
+the standard library.
+
+Wire protocol (all lengths big-endian uint32; connections are persistent,
+many requests per connection, FIFO):
+
+  request  = [header_len][header JSON][payload bytes]
+    {"op": "ping"}                                   -> no payload
+    {"op": "pose", "h": H, "w": W,
+     "icp": bool?, "icp_threshold_mm": float?,
+     "icp_iters": int?}                              -> payload =
+        H*W*3 uint8 RGB (row-major) ++ H*W float32 little-endian depth (mm)
+
+  response = [len][JSON]
+    ping  -> {"ok": true, "pong": true}
+    pose  -> {"ok": true, "rt": [[..]x4] (mm), "centers": [[..]x3] (mm),
+              "counts": [..], "overflow": [..], "ms": float,
+              "icp_applied": bool}
+    error -> {"ok": false, "error": "..."}  (connection stays usable)
+
+One accelerator chip executes serially, so requests are serialized with a
+lock rather than sharded across worker threads; multiple clients can stay
+connected and interleave.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+import struct
+import threading
+import time
+
+import numpy as np
+
+_MAX_HEADER = 1 << 16
+_MAX_PAYLOAD = 1 << 28  # 256 MB: a 4096x4096 RGB-D frame is ~117 MB
+
+
+# ---------------------------------------------------------------------------
+# Framing
+# ---------------------------------------------------------------------------
+
+def _recv_exact(sock, n):
+    """Read exactly n bytes or raise ConnectionError on EOF."""
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(min(n - len(buf), 1 << 20))
+        if not chunk:
+            raise ConnectionError("peer closed mid-message")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _send_json(sock, obj):
+    data = json.dumps(obj).encode()
+    sock.sendall(struct.pack(">I", len(data)) + data)
+
+
+def _recv_json(sock, limit=_MAX_HEADER):
+    (n,) = struct.unpack(">I", _recv_exact(sock, 4))
+    if n > limit:
+        raise ValueError(f"message of {n} bytes exceeds the {limit} limit")
+    return json.loads(_recv_exact(sock, n))
+
+
+# ---------------------------------------------------------------------------
+# Server
+# ---------------------------------------------------------------------------
+
+class PoseServer:
+    """Serve one class's ``PoseEstimator`` over TCP.
+
+    ``estimator`` must be a constructed ``infer.PoseEstimator`` (weights
+    already loaded); pass ``cad_mm`` to its constructor if clients will
+    request ICP refinement. ``warmup_hw`` compiles the frame program at the
+    given (H, W) before the socket opens so the first client request does
+    not pay the compile.
+    """
+
+    def __init__(self, estimator, warmup_hw=None):
+        import jax
+        self._jax = jax
+        self.estimator = estimator
+        self._lock = threading.Lock()  # one chip: serialize execution
+        self._server = None
+        self._thread = None
+        if warmup_hw is not None:
+            h, w = warmup_hw
+            img = np.zeros((h, w, 3), np.uint8)
+            dep = np.zeros((h, w), np.float32)
+            dep[h // 3:2 * h // 3, w // 3:2 * w // 3] = 700.0
+            jax.block_until_ready(self.estimator.estimate(img, dep)["rt"])
+
+    # -- request handling ---------------------------------------------------
+
+    def _handle_pose(self, header, payload):
+        h, w = int(header["h"]), int(header["w"])
+        if h <= 0 or w <= 0 or h * w > (1 << 24):
+            raise ValueError(f"bad frame shape ({h}, {w})")
+        need = h * w * 3 + h * w * 4
+        if len(payload) != need:
+            raise ValueError(
+                f"payload is {len(payload)} bytes, expected {need} "
+                f"for a ({h}, {w}) RGB-D frame")
+        image = np.frombuffer(payload[:h * w * 3],
+                              np.uint8).reshape(h, w, 3)
+        depth = np.frombuffer(payload[h * w * 3:],
+                              "<f4").reshape(h, w)
+
+        t0 = time.perf_counter()
+        with self._lock:
+            result = self.estimator.estimate(image, depth)
+            rt = result["rt"]
+            icp_applied = False
+            if header.get("icp"):
+                if self.estimator.cad_mm is None:
+                    raise ValueError(
+                        "server was started without a CAD model; ICP "
+                        "refinement is unavailable")
+                rt = self.estimator.refine(
+                    result,
+                    threshold_mm=float(header.get("icp_threshold_mm", 20.0)),
+                    icp_iters=(int(header["icp_iters"])
+                               if "icp_iters" in header else None))
+                icp_applied = True
+            rt = np.asarray(self._jax.block_until_ready(rt), np.float64)
+        ms = (time.perf_counter() - t0) * 1e3
+        return {
+            "ok": True,
+            "rt": rt.tolist(),
+            "centers": np.asarray(result["centers"], np.float64).tolist(),
+            "counts": np.asarray(result["counts"], np.float64).tolist(),
+            "overflow": np.asarray(result["overflow"]).astype(bool).tolist(),
+            "ms": round(ms, 3),
+            "icp_applied": icp_applied,
+        }
+
+    def _handle_connection(self, sock, recv_timeout=300.0):
+        # A half-sent frame must not wedge the connection forever: the
+        # payload length is derived from (h, w), so a client that stops
+        # mid-frame just looks like a slow sender until this fires.
+        sock.settimeout(recv_timeout)
+        while True:
+            try:
+                header = _recv_json(sock)
+            except (ConnectionError, TimeoutError, struct.error, OSError):
+                return  # clean disconnect (or gave up on a stalled peer)
+            try:
+                op = header.get("op")
+                if op == "ping":
+                    _send_json(sock, {"ok": True, "pong": True})
+                    continue
+                if op == "pose":
+                    h, w = int(header["h"]), int(header["w"])
+                    need = h * w * 3 + h * w * 4
+                    if need > _MAX_PAYLOAD or need < 0:
+                        raise ValueError(f"frame too large ({need} bytes)")
+                    payload = _recv_exact(sock, need)
+                    _send_json(sock, self._handle_pose(header, payload))
+                    continue
+                raise ValueError(f"unknown op {op!r}")
+            except (ConnectionError, TimeoutError):
+                return
+            except Exception as exc:  # report, keep the connection alive
+                try:
+                    _send_json(sock, {"ok": False, "error": str(exc)})
+                except OSError:
+                    return
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self, host="127.0.0.1", port=0):
+        """Bind and serve in a background thread; returns (host, port)."""
+        handle = self._handle_connection
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                handle(self.request)
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._server.server_address[:2]
+
+    def serve_forever(self, host="127.0.0.1", port=5555):
+        """Blocking serve (the CLI entry point)."""
+        addr = self.start(host, port)
+        print(f"rcvpose_tpu serving on {addr[0]}:{addr[1]}", flush=True)
+        try:
+            self._thread.join()
+        except KeyboardInterrupt:
+            self.shutdown()
+
+    def shutdown(self):
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+
+# ---------------------------------------------------------------------------
+# Client
+# ---------------------------------------------------------------------------
+
+class PoseClient:
+    """Minimal blocking client for ``PoseServer``."""
+
+    def __init__(self, host, port, timeout=600.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+
+    def ping(self):
+        _send_json(self._sock, {"op": "ping"})
+        return _recv_json(self._sock, limit=_MAX_PAYLOAD)
+
+    def pose(self, image_u8, depth_mm, icp=False, icp_threshold_mm=None,
+             icp_iters=None):
+        image = np.ascontiguousarray(image_u8, np.uint8)
+        depth = np.ascontiguousarray(depth_mm, "<f4")
+        h, w = depth.shape
+        header = {"op": "pose", "h": h, "w": w}
+        if icp:
+            header["icp"] = True
+            if icp_threshold_mm is not None:
+                header["icp_threshold_mm"] = float(icp_threshold_mm)
+            if icp_iters is not None:
+                header["icp_iters"] = int(icp_iters)
+        hdr = json.dumps(header).encode()
+        self._sock.sendall(struct.pack(">I", len(hdr)) + hdr
+                           + image.tobytes() + depth.tobytes())
+        return _recv_json(self._sock, limit=_MAX_PAYLOAD)
+
+    def raw(self, header_obj, payload=b""):
+        """Send an arbitrary header (test hook for protocol errors)."""
+        hdr = json.dumps(header_obj).encode()
+        self._sock.sendall(struct.pack(">I", len(hdr)) + hdr + payload)
+        return _recv_json(self._sock, limit=_MAX_PAYLOAD)
+
+    def close(self):
+        self._sock.close()
+
+
+# ---------------------------------------------------------------------------
+# CLI assembly: estimator from the on-disk class assets
+# ---------------------------------------------------------------------------
+
+def build_lm_estimator(cfg, class_name):
+    """PoseEstimator from the LINEMOD eval-tree conventions: checkpoints
+    via ``eval._load_models`` (torch ``.pth.tar`` import, orbax 3-net, or
+    fused orbax), meter-valued ``<class>.ply`` (AccumulatorSpace.py:544-549)
+    for the radius clips and the ICP CAD model, ``Outside9.npy`` keypoints.
+    """
+    from rcvpose_tpu import eval as eval_mod
+    from rcvpose_tpu import infer
+
+    root_pv = os.path.join(cfg.root_dataset, "LINEMOD", class_name)
+    cad_m = eval_mod._read_eval_cad_m(
+        os.path.join(root_pv, f"{class_name}.ply"))
+    keypoints = np.load(os.path.join(root_pv, "Outside9.npy"))
+    max_radii = eval_mod._per_kpt_max_radii_dm(cad_m, keypoints)
+
+    _, params = eval_mod._load_models(cfg, class_name)
+    variables = params[0] if getattr(cfg, "kpt_heads", 1) > 1 else params
+    return infer.PoseEstimator(cfg, variables, keypoints, max_radii,
+                               cad_mm=cad_m * 1000.0)
+
+
+def run_serve(cfg):
+    """``--mode serve`` entry: load ``cfg.class_name``'s assets and serve."""
+    est = build_lm_estimator(cfg, cfg.class_name)
+    warm = (cfg.image_height, cfg.image_width)
+    PoseServer(est, warmup_hw=warm).serve_forever(cfg.serve_host,
+                                                  cfg.serve_port)

@@ -37,6 +37,18 @@ timeout 10800 python scripts/e2e_lmo_tpu.py --out logs/e2e_lmo_r2 \
 rc=$?; rc_total=$((rc_total + rc))
 echo "[$(date -u +%FT%TZ)] LMO e2e rc=$rc" >> /tmp/tunnel_wait.log
 
+echo "[$(date -u +%FT%TZ)] serving latency (3-net)" >> /tmp/tunnel_wait.log
+timeout 3600 python scripts/bench_serving_latency.py --n 200 \
+  > /tmp/latency_3net_r2.log 2>&1
+rc=$?; rc_total=$((rc_total + rc))
+echo "[$(date -u +%FT%TZ)] latency 3-net rc=$rc" >> /tmp/tunnel_wait.log
+
+echo "[$(date -u +%FT%TZ)] serving latency (fused)" >> /tmp/tunnel_wait.log
+timeout 3600 python scripts/bench_serving_latency.py --fused --n 200 \
+  > /tmp/latency_fused_r2.log 2>&1
+rc=$?; rc_total=$((rc_total + rc))
+echo "[$(date -u +%FT%TZ)] latency fused rc=$rc" >> /tmp/tunnel_wait.log
+
 echo "[$(date -u +%FT%TZ)] warming serving bench" >> /tmp/tunnel_wait.log
 timeout 3600 python bench.py > /tmp/bench_warm_r2.log 2>&1
 rc=$?; rc_total=$((rc_total + rc))

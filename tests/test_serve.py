@@ -1,0 +1,132 @@
+"""TCP pose-serving daemon (rcvpose_tpu/serve.py).
+
+Starts a real PoseServer on an ephemeral port with a tiny random-weight
+model, then drives it with the bundled PoseClient: ping, pose, pose+ICP,
+protocol-error recovery on a persistent connection, and a second
+concurrent client. (The reference has no serving path at all —
+its evaluators are offline loops, AccumulatorSpace.py:564-662.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rcvpose_tpu import infer, serve
+from rcvpose_tpu import train as train_mod
+from rcvpose_tpu.config import Config
+
+H, W = 64, 64
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = Config(compute_dtype="float32", vote_grid_l=64, max_points=512,
+                 vote_mode="hier", model_width=0.125, model_blocks="1,1,1,1",
+                 icp_iters=4)
+    model = train_mod.build_model(cfg)
+    variables = [model.init(jax.random.PRNGKey(i),
+                            jnp.zeros((1, 32, 32, 3), jnp.float32), False)
+                 for i in range(3)]
+    rng = np.random.default_rng(0)
+    keypoints = np.zeros((9, 3))
+    keypoints[1:4] = rng.normal(size=(3, 3)) * 0.05
+    cad_mm = rng.normal(size=(64, 3)) * 40.0
+    est = infer.PoseEstimator(cfg, variables, keypoints,
+                              max_radii_dm=np.array([2.0, 2.2, 2.4]),
+                              cad_mm=cad_mm)
+    srv = serve.PoseServer(est, warmup_hw=(H, W))
+    host, port = srv.start(port=0)
+    yield host, port
+    srv.shutdown()
+
+
+def _frame(seed=0):
+    rng = np.random.default_rng(seed)
+    image = rng.uniform(0, 255, size=(H, W, 3)).astype(np.uint8)
+    depth = np.zeros((H, W), np.float32)
+    win = depth[H // 3:2 * H // 3, W // 3:2 * W // 3]
+    win[...] = rng.uniform(600, 900, size=win.shape).astype(np.float32)
+    return image, depth
+
+
+def test_ping_and_pose(server):
+    cli = serve.PoseClient(*server)
+    try:
+        assert cli.ping() == {"ok": True, "pong": True}
+
+        image, depth = _frame()
+        res = cli.pose(image, depth)
+        assert res["ok"], res
+        rt = np.asarray(res["rt"])
+        assert rt.shape == (4, 4)
+        assert np.all(np.isfinite(rt))
+        assert np.allclose(rt[3], [0, 0, 0, 1])
+        assert np.asarray(res["centers"]).shape == (3, 3)
+        assert res["ms"] > 0
+        assert res["icp_applied"] is False
+
+        # same frame, same pose (deterministic serving)
+        res2 = cli.pose(image, depth)
+        np.testing.assert_array_equal(np.asarray(res2["rt"]), rt)
+    finally:
+        cli.close()
+
+
+def test_pose_with_icp(server):
+    cli = serve.PoseClient(*server)
+    try:
+        image, depth = _frame(1)
+        res = cli.pose(image, depth, icp=True, icp_threshold_mm=50.0,
+                       icp_iters=2)
+        assert res["ok"], res
+        assert res["icp_applied"] is True
+        rt = np.asarray(res["rt"])
+        assert rt.shape == (4, 4) and np.all(np.isfinite(rt))
+    finally:
+        cli.close()
+
+
+def test_protocol_errors_keep_connection(server):
+    cli = serve.PoseClient(*server)
+    try:
+        # unknown op -> error, connection survives
+        res = cli.raw({"op": "warp"})
+        assert res["ok"] is False and "unknown op" in res["error"]
+
+        # oversized frame rejected before any payload read
+        res = cli.raw({"op": "pose", "h": 1 << 14, "w": 1 << 14})
+        assert res["ok"] is False
+
+        assert cli.ping()["ok"]  # still alive
+    finally:
+        cli.close()
+
+
+def test_payload_length_validation():
+    """_handle_pose rejects a payload whose size disagrees with (h, w).
+    (Over TCP a short payload is indistinguishable from a slow sender —
+    the connection-level guard for that is the recv timeout — but a
+    mis-sized complete buffer must fail loudly.)"""
+    srv = serve.PoseServer.__new__(serve.PoseServer)  # no estimator needed
+    with pytest.raises(ValueError, match="expected"):
+        srv._handle_pose({"h": 4, "w": 4}, b"\x00" * 7)
+    with pytest.raises(ValueError, match="bad frame shape"):
+        srv._handle_pose({"h": 0, "w": 4}, b"")
+
+
+def test_two_clients_interleave(server):
+    a = serve.PoseClient(*server)
+    b = serve.PoseClient(*server)
+    try:
+        image, depth = _frame(2)
+        assert a.ping()["ok"]
+        res_b = b.pose(image, depth)
+        assert res_b["ok"]
+        res_a = a.pose(image, depth)
+        assert res_a["ok"]
+        np.testing.assert_array_equal(np.asarray(res_a["rt"]),
+                                      np.asarray(res_b["rt"]))
+    finally:
+        a.close()
+        b.close()
