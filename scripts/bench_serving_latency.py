@@ -100,9 +100,10 @@ def measure_dispatch_floor(jax, runs=20):
     return best
 
 
-def run_openloop(jax, est, image, depth, rate_fps, n, seed):
+def run_openloop(request, rate_fps, n, seed):
     """Poisson arrivals at rate_fps; FIFO service; latency vs scheduled
-    arrival (queueing charged to the server)."""
+    arrival (queueing charged to the server). ``request()`` performs one
+    complete round trip."""
     rng = np.random.default_rng(seed)
     arrivals = np.cumsum(rng.exponential(1.0 / rate_fps, size=n))
     lat = np.empty(n)
@@ -112,7 +113,7 @@ def run_openloop(jax, est, image, depth, rate_fps, n, seed):
         now = time.perf_counter()
         if now < target:
             time.sleep(target - now)
-        one_request(jax, est, image, depth)
+        request()
         lat[i] = time.perf_counter() - target
     wall = time.perf_counter() - t0
     return lat, n / wall
@@ -132,53 +133,91 @@ def main():
                     help="offered load as a fraction of capacity when "
                          "--rate is not given")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--daemon", default=None, metavar="HOST:PORT",
+                    help="measure through a running `--mode serve` daemon "
+                         "(network path included) instead of in-process")
+    ap.add_argument("--image_hw", default=None,
+                    help="frame size H,W for --daemon mode (must match the "
+                         "daemon's warmup; default 480,640 or 96,128 with "
+                         "--small)")
     args = ap.parse_args()
 
-    jax = setup_jax(args.small)
-    from rcvpose_tpu.config import Config
-    from rcvpose_tpu.ops.voting import suggest_grid_l
+    if args.daemon:
+        # Pure client: the daemon owns the model; no jax needed here.
+        from rcvpose_tpu import serve as serve_mod
 
-    backend = jax.default_backend()
-    small = args.small or backend == "cpu"
-    n = args.n or (8 if small else 200)
-    if small:
-        cfg = Config(compute_dtype="float32", vote_grid_l=64,
-                     max_points=1024, vote_mode="hier",
-                     model_width=0.125, model_blocks="1,1,1,1",
-                     kpt_heads=3 if args.fused else 1)
-        h, w = 96, 128
+        host, port = args.daemon.rsplit(":", 1)
+        client = serve_mod.PoseClient(host, int(port))
+        small = args.small
+        h, w = ((96, 128) if small else (480, 640))
+        if args.image_hw:
+            h, w = (int(x) for x in args.image_hw.split(","))
+        image, depth = synth_frame(h, w, seed=args.seed)
+        backend = "daemon"
+
+        def request():
+            res = client.pose(image, depth)
+            if not res.get("ok"):
+                raise RuntimeError(res.get("error"))
+
+        def floor_fn():
+            best = float("inf")
+            for _ in range(20):
+                t0 = time.perf_counter()
+                client.ping()
+                best = min(best, time.perf_counter() - t0)
+            return best
     else:
-        cfg = Config(compute_dtype="bfloat16",
-                     vote_grid_l=suggest_grid_l(0.102, 2.0),
-                     max_points=8192, vote_mode="hier",
-                     kpt_heads=3 if args.fused else 1)
-        h, w = 480, 640
+        jax = setup_jax(args.small)
+        from rcvpose_tpu.config import Config
+        from rcvpose_tpu.ops.voting import suggest_grid_l
 
-    est = build_estimator(cfg, args.fused, seed=args.seed)
-    image, depth = synth_frame(h, w, seed=args.seed)
+        backend = jax.default_backend()
+        small = args.small or backend == "cpu"
+        if small:
+            cfg = Config(compute_dtype="float32", vote_grid_l=64,
+                         max_points=1024, vote_mode="hier",
+                         model_width=0.125, model_blocks="1,1,1,1",
+                         kpt_heads=3 if args.fused else 1)
+            h, w = 96, 128
+        else:
+            cfg = Config(compute_dtype="bfloat16",
+                         vote_grid_l=suggest_grid_l(0.102, 2.0),
+                         max_points=8192, vote_mode="hier",
+                         kpt_heads=3 if args.fused else 1)
+            h, w = 480, 640
+
+        est = build_estimator(cfg, args.fused, seed=args.seed)
+        image, depth = synth_frame(h, w, seed=args.seed)
+        request = lambda: one_request(jax, est, image, depth)  # noqa: E731
+        floor_fn = lambda: measure_dispatch_floor(jax)  # noqa: E731
+
+    n = args.n or (8 if small else 200)
 
     # Warm every program the escalation loop can reach on this frame
     # (compile happens here, not inside the measured run).
     for _ in range(2):
-        one_request(jax, est, image, depth)
+        request()
 
     # Back-to-back capacity (closed loop, includes host boundary).
     t0 = time.perf_counter()
     n_cap = max(4, n // 4)
     for _ in range(n_cap):
-        one_request(jax, est, image, depth)
+        request()
     capacity = n_cap / (time.perf_counter() - t0)
 
     rate = args.rate or args.utilization * capacity
-    lat, achieved = run_openloop(jax, est, image, depth, rate, n, args.seed)
-    floor = measure_dispatch_floor(jax)
+    lat, achieved = run_openloop(request, rate, n, args.seed)
+    floor = floor_fn()
 
     q = lambda p: float(np.percentile(lat, p) * 1e3)  # noqa: E731
     record = {
         "metric": "serving_latency_p99_ms",
         "value": round(q(99), 2),
         "unit": "ms",
-        "mode": "fused" if args.fused else "3-net",
+        "mode": ("daemon" if args.daemon
+                 else ("fused" if args.fused else "3-net")),
+        "path": "tcp-daemon" if args.daemon else "in-process",
         "offered_rate_rps": round(rate, 2),
         "achieved_rps": round(achieved, 2),
         "capacity_rps": round(capacity, 2),
