@@ -130,3 +130,44 @@ def test_two_clients_interleave(server):
     finally:
         a.close()
         b.close()
+
+
+def test_build_lm_estimator_and_serve(tmp_path, rng):
+    """The --mode serve assembly path (serve.build_lm_estimator): eval-tree
+    assets (meter ply -> radius clips + CAD, Outside9 keypoints) + a fused
+    orbax checkpoint, then an actual TCP round trip incl. ICP against the
+    loaded CAD."""
+    import orbax.checkpoint as ocp
+
+    from tests.test_eval_lm_format import make_lm_eval_tree
+
+    tree = make_lm_eval_tree(tmp_path, rng)
+    cfg = Config(root_dataset=tree, model_dir=str(tmp_path / "ckpts"),
+                 compute_dtype="float32", vote_grid_l=64, max_points=512,
+                 vote_mode="hier", model_width=0.125,
+                 model_blocks="1,1,1,1", kpt_heads=3, icp_iters=4)
+    model = train_mod.build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3), jnp.float32), False)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(str(tmp_path / "ckpts" / "ape"),
+              {"params": variables["params"],
+               "batch_stats": variables["batch_stats"]})
+    ckpt.wait_until_finished()
+
+    est = serve.build_lm_estimator(cfg, "ape")
+    assert est.cad_mm is not None  # ICP-capable (ply loaded in meters)
+
+    srv = serve.PoseServer(est, warmup_hw=(H, W))
+    host, port = srv.start(port=0)
+    cli = serve.PoseClient(host, port)
+    try:
+        image, depth = _frame(3)
+        res = cli.pose(image, depth, icp=True, icp_threshold_mm=50.0,
+                       icp_iters=2)
+        assert res["ok"], res
+        assert res["icp_applied"] is True
+        assert np.all(np.isfinite(np.asarray(res["rt"])))
+    finally:
+        cli.close()
+        srv.shutdown()
