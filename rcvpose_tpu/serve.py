@@ -155,6 +155,15 @@ class PoseServer:
                 header = _recv_json(sock)
             except (ConnectionError, TimeoutError, struct.error, OSError):
                 return  # clean disconnect (or gave up on a stalled peer)
+            except (ValueError, json.JSONDecodeError) as exc:
+                # Framing error: the byte stream is desynced and nothing
+                # after this point can be parsed — report and close.
+                try:
+                    _send_json(sock, {"ok": False,
+                                      "error": f"framing: {exc}"})
+                except OSError:
+                    pass
+                return
             try:
                 op = header.get("op")
                 if op == "ping":

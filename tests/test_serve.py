@@ -103,6 +103,35 @@ def test_protocol_errors_keep_connection(server):
         cli.close()
 
 
+def test_framing_error_closes_connection(server):
+    """A non-JSON header desyncs the stream: the server reports the framing
+    error and closes (recovery is impossible mid-stream), while a NEW
+    connection still works."""
+    import socket
+    import struct as struct_mod
+
+    sock = socket.create_connection(server, timeout=30)
+    try:
+        junk = b"\xde\xad\xbe\xef not json"
+        sock.sendall(struct_mod.pack(">I", len(junk)) + junk)
+        (n,) = struct_mod.unpack(">I", sock.recv(4))
+        res = np.frombuffer(sock.recv(n), np.uint8).tobytes()
+        import json as json_mod
+        reply = json_mod.loads(res)
+        assert reply["ok"] is False and "framing" in reply["error"]
+        # server closed its side: subsequent reads hit EOF
+        sock.settimeout(10)
+        assert sock.recv(4) == b""
+    finally:
+        sock.close()
+
+    cli = serve.PoseClient(*server)  # fresh connection unaffected
+    try:
+        assert cli.ping()["ok"]
+    finally:
+        cli.close()
+
+
 def test_payload_length_validation():
     """_handle_pose rejects a payload whose size disagrees with (h, w).
     (Over TCP a short payload is indistinguishable from a slow sender —
