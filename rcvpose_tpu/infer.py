@@ -176,10 +176,17 @@ def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
         sems, radial_maps)
     rt = fit.horn_fit(gt_kpts_mm, centers)
     cropped = counts < total_valid  # window truncated some mask pixels
+    # Packed copy of the escalation signals: estimate() must read them on
+    # the host every frame, and separate scalar fetches each cost a full
+    # device round trip (~29 ms through this environment's tunnel; even on
+    # a co-located host a sync apiece). One small vector = one fetch.
+    escalate = jnp.stack([jnp.any(cropped).astype(jnp.float32),
+                          budget_exceeded.astype(jnp.float32),
+                          union_count.astype(jnp.float32)])
     return {"rt": rt, "centers": centers, "overflow": overflow,
             "counts": counts, "scene_pts": pts_mm, "scene_mask": masks,
             "cropped": cropped, "budget_exceeded": budget_exceeded,
-            "union_count": union_count}
+            "union_count": union_count, "escalate": escalate}
 
 
 _STATIC = ("apply_fn", "n_points", "grid_l", "mode", "sem_threshold",
@@ -288,14 +295,16 @@ class PoseEstimator:
         n_pts = self.cfg.max_points
         result = run(full, n_pts)
         while True:
+            # One host fetch for all escalation signals ((B?, 3) packed
+            # [cropped, budget_exceeded, union_count]) — per-leaf scalar
+            # reads would each pay a device->host round trip per frame.
+            esc = np.asarray(result["escalate"]).reshape(-1, 3)
             redo = False
-            if not full and bool(np.asarray(result["cropped"]).any()):
+            if not full and bool((esc[:, 0] > 0).any()):
                 full = True
                 redo = True
-            if (bool(np.asarray(result["budget_exceeded"]).any())
-                    and n_pts < image_pixels):
-                needed = min(int(np.asarray(result["union_count"]).max()),
-                             image_pixels)
+            if bool((esc[:, 1] > 0).any()) and n_pts < image_pixels:
+                needed = min(int(esc[:, 2].max()), image_pixels)
                 while n_pts < needed:
                     n_pts *= 2
                 redo = True

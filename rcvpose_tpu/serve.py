@@ -133,14 +133,18 @@ class PoseServer:
                     icp_iters=(int(header["icp_iters"])
                                if "icp_iters" in header else None))
                 icp_applied = True
-            rt = np.asarray(self._jax.block_until_ready(rt), np.float64)
+            # One batched device->host transfer for everything the reply
+            # needs (per-leaf np.asarray would sync + round-trip each).
+            rt, centers, counts, overflow = self._jax.device_get(
+                (rt, result["centers"], result["counts"],
+                 result["overflow"]))
         ms = (time.perf_counter() - t0) * 1e3
         return {
             "ok": True,
-            "rt": rt.tolist(),
-            "centers": np.asarray(result["centers"], np.float64).tolist(),
-            "counts": np.asarray(result["counts"], np.float64).tolist(),
-            "overflow": np.asarray(result["overflow"]).astype(bool).tolist(),
+            "rt": np.asarray(rt, np.float64).tolist(),
+            "centers": np.asarray(centers, np.float64).tolist(),
+            "counts": np.asarray(counts, np.float64).tolist(),
+            "overflow": np.asarray(overflow).astype(bool).tolist(),
             "ms": round(ms, 3),
             "icp_applied": icp_applied,
         }

@@ -106,7 +106,11 @@ def test_escalate_grows_budget_and_window():
 
     def run(full, n_points):
         calls.append((full, n_points))
-        return {k: np.asarray(v) for k, v in next(script).items()}
+        d = {k: np.asarray(v) for k, v in next(script).items()}
+        # the packed vector estimate() actually reads (one fetch per frame)
+        d["escalate"] = np.asarray([d["cropped"], d["budget_exceeded"],
+                                    d["union_count"]], np.float32)
+        return d
 
     out = est._escalate(run, image_pixels=4096)
     # 512 -> cropped + union 1500 -> full frame @2048 -> union huge ->
