@@ -37,11 +37,23 @@ class BatchLoader:
     """Iterable of device-ready batches {image, radial, sem}."""
 
     def __init__(self, dataset, k, batch_size, shuffle=True, seed=0,
-                 prefetch=2, drop_last=True, ycb_clip=False, kpt_heads=1):
+                 prefetch=2, drop_last=True, ycb_clip=False, kpt_heads=1,
+                 shard_rank=0, shard_count=1):
         """``kpt_heads > 1`` emits multi-head labels (B, H, W, K) — one
         radial/sem pair per keypoint (rows 1..K of the dataset's keypoint
         array, the same rows the reference eval consumes) — for training
-        the fused multi-head model (config ``kpt_heads``)."""
+        the fused multi-head model (config ``kpt_heads``).
+
+        ``shard_rank/shard_count``: multi-host data sharding. Every process
+        draws the SAME per-epoch permutation (identical ``seed`` + stateful
+        rng), then takes the disjoint ``rank::count`` slice, trimmed to a
+        common length so every process yields the same number of batches
+        (processes must dispatch the same collectives). Without this, all
+        hosts of a multi-host run would feed identical frames and the
+        global batch would duplicate data instead of sharding it."""
+        if not (0 <= shard_rank < shard_count):
+            raise ValueError(f"shard_rank {shard_rank} not in "
+                             f"[0, {shard_count})")
         self.ds = dataset
         self.k = np.asarray(k, np.float32)
         self.batch_size = batch_size
@@ -51,6 +63,8 @@ class BatchLoader:
         self.drop_last = drop_last
         self.ycb_clip = ycb_clip
         self.kpt_heads = kpt_heads
+        self.shard_rank = shard_rank
+        self.shard_count = shard_count
 
         has_geometry = hasattr(dataset, "kpt")
         multi = kpt_heads > 1
@@ -105,14 +119,21 @@ class BatchLoader:
         self._transform = transform_batch
         self._transform_precomputed = transform_precomputed
 
+    def _shard_len(self):
+        # floor(n / count) for EVERY rank: uniform step counts across hosts
+        return len(self.ds) // self.shard_count if self.shard_count > 1 \
+            else len(self.ds)
+
     def __len__(self):
-        n = len(self.ds)
+        n = self._shard_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _index_order(self):
         idx = np.arange(len(self.ds))
         if self.shuffle:
             self.rng.shuffle(idx)
+        if self.shard_count > 1:
+            idx = idx[self.shard_rank::self.shard_count][:self._shard_len()]
         return idx
 
     def __iter__(self):
@@ -159,12 +180,26 @@ class BatchLoader:
             yield pending
 
 
-def make_loaders(cfg, dataset_cls=None):
+def make_loaders(cfg, dataset_cls=None, shard_rank=None, shard_count=None):
     """(train_loader, val_loader) — both on the 'val' split by default, as
-    the reference does (data_loader.py:123)."""
+    the reference does (data_loader.py:123).
+
+    Multi-host: the TRAIN loader shards the dataset across processes
+    (disjoint ``process_index::process_count`` slices of one common
+    permutation) so the global batch covers distinct frames. The VAL
+    loader deliberately stays full-set on every host: each process then
+    computes identical validation metrics and makes the identical
+    best-checkpoint decision (no cross-host metric reduction needed).
+    """
+    import jax
+
     from rcvpose_tpu import geometry
     from rcvpose_tpu.data.dataset import LinemodDataset, YcbDataset
 
+    if shard_rank is None:
+        shard_rank = jax.process_index()
+    if shard_count is None:
+        shard_count = jax.process_count()
     if dataset_cls is None:
         dataset_cls = LinemodDataset if cfg.dataset == "lm" else YcbDataset
     train_ds = dataset_cls(cfg.root_dataset, cfg.class_name,
@@ -176,7 +211,8 @@ def make_loaders(cfg, dataset_cls=None):
     heads = getattr(cfg, "kpt_heads", 1)
     train = BatchLoader(train_ds, k, cfg.batch_size, shuffle=True,
                         seed=cfg.seed, prefetch=cfg.num_prefetch,
-                        ycb_clip=ycb, kpt_heads=heads)
+                        ycb_clip=ycb, kpt_heads=heads,
+                        shard_rank=shard_rank, shard_count=shard_count)
     val = BatchLoader(val_ds, k, cfg.batch_size, shuffle=False,
                       seed=cfg.seed, prefetch=cfg.num_prefetch, ycb_clip=ycb,
                       kpt_heads=heads)

@@ -7,7 +7,7 @@ from PIL import Image
 
 from rcvpose_tpu.data import readers
 from rcvpose_tpu.data.dataset import LinemodDataset
-from rcvpose_tpu.data.loader import BatchLoader
+from rcvpose_tpu.data.loader import BatchLoader, make_loaders
 from tests.test_geometry import random_pose
 
 
@@ -186,3 +186,51 @@ def test_loader_feeds_trainer_end_to_end(linemod_tree, tmp_path):
     trainer.fit(max_epochs=3)
     assert trainer.iteration == 2  # max_iterations cap hit
     assert np.isfinite(trainer.best_val)
+
+
+def test_loader_multihost_sharding():
+    """Multi-host data contract: every rank draws the SAME per-epoch
+    permutation and takes a disjoint rank::count slice trimmed to a common
+    length — so a multi-host global batch covers distinct frames and every
+    process yields the same number of batches (identical collective
+    counts). Without sharding, all hosts would feed identical data."""
+    import numpy as np
+
+    class Stub:
+        def __len__(self):
+            return 10
+
+    k = np.eye(3)
+    loaders = [BatchLoader(Stub(), k, batch_size=2, shuffle=True, seed=7,
+                           shard_rank=r, shard_count=2) for r in range(2)]
+    assert len(loaders[0]) == len(loaders[1]) == 2  # floor(10/2)/2
+
+    for _epoch in range(3):  # stateful rng: stays consistent across epochs
+        orders = [set(ld._index_order().tolist()) for ld in loaders]
+        assert len(orders[0]) == len(orders[1]) == 5
+        assert orders[0].isdisjoint(orders[1])
+        assert orders[0] | orders[1] == set(range(10))
+
+    # single-process default: full permutation, unchanged behavior
+    solo = BatchLoader(Stub(), k, batch_size=2, shuffle=True, seed=7)
+    assert sorted(solo._index_order().tolist()) == list(range(10))
+    assert len(solo) == 5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shard_rank"):
+        BatchLoader(Stub(), k, batch_size=2, shard_rank=2, shard_count=2)
+
+
+def test_make_loaders_shards_train_not_val(linemod_tree):
+    """make_loaders: train loader sharded per process, val loader full-set
+    (identical metrics -> identical best-ckpt decision on every host)."""
+    from rcvpose_tpu.config import Config
+
+    cfg = Config(root_dataset=linemod_tree, class_name="toy", batch_size=1)
+    train0, val0 = make_loaders(cfg, shard_rank=0, shard_count=3)
+    train1, val1 = make_loaders(cfg, shard_rank=1, shard_count=3)
+    # fixture has 3 frames: each train shard gets 1, val keeps all 3
+    assert len(train0) == len(train1) == 1
+    assert len(val0) == len(val1) == 3
+    o0, o1 = train0._index_order(), train1._index_order()
+    assert set(o0.tolist()).isdisjoint(o1.tolist())
