@@ -152,32 +152,70 @@ def run_train(cfg):
 
     maybe_init_distributed(cfg)
     log_dir = utils.get_log_dir(cfg)
-    try:
-        from tensorboardX import SummaryWriter
-        writer = SummaryWriter(logdir=log_dir + "/tbLog/")
-    except ImportError:
-        writer = None
+    writer = None
+    if jax.process_index() == 0:  # one TB stream per run, not per host
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(logdir=log_dir + "/tbLog/")
+        except ImportError:
+            pass
 
     train_loader, val_loader = make_loaders(cfg)
     steps_per_epoch = max(len(train_loader), 1)
-    # Mesh sizing: the mesh spans GLOBAL devices (a multi-host run after
-    # maybe_init_distributed sees every host's chips); cfg.batch_size is the
-    # PER-HOST batch, so the global batch is batch_size * process_count and
-    # the mesh must divide it. Auto-fit picks the largest divisor <= device
-    # count (e.g. batch 6 on 8 devices -> 6-device mesh, not gcd's 2).
-    global_batch = cfg.batch_size * jax.process_count()
-    n_dev = cfg.mesh_data_axis or _mesh_size_for_batch(global_batch,
-                                                       jax.device_count())
+    # Mesh sizing. Single-host: largest divisor of the batch <= device
+    # count (batch 6 on 8 devices -> 6-device mesh, not gcd's 2).
+    # Multi-host: cfg.batch_size is the PER-HOST batch; size per host
+    # against the LOCAL device count and span every process with the same
+    # per-host slot count (data_mesh picks that many chips from each
+    # process), so each host's loader shard lands on its own chips.
+    nproc = jax.process_count()
+    if cfg.mesh_data_axis:
+        n_dev = cfg.mesh_data_axis
+    elif nproc > 1:
+        n_dev = nproc * _mesh_size_for_batch(cfg.batch_size,
+                                             jax.local_device_count())
+    else:
+        n_dev = _mesh_size_for_batch(cfg.batch_size, jax.device_count())
     mesh = parallel.data_mesh(max(n_dev, 1))
+    parallel.warm_collectives(mesh)  # Gloo context init BEFORE the heavy
+    # step compiles — their cross-host completion skew can exceed the
+    # context's fixed 30 s init deadline (see parallel/mesh.py)
     state = train.create_state(cfg, jax.random.PRNGKey(cfg.seed),
                                steps_per_epoch=steps_per_epoch)
+    steps = None
+    if nproc > 1:
+        # AOT-compile both steps, then rendezvous at the coordination
+        # service (NOT a device collective): step compiles take minutes and
+        # the hosts' completion skew routinely exceeds Gloo's fixed 30 s
+        # deadline — after the barrier every host enters the first step's
+        # collectives within milliseconds. CPU-backend concern only, but
+        # harmless on TPU pods.
+        import numpy as np
+
+        p_train, p_eval = train.make_parallel_steps(mesh)
+        sh = parallel.batch_sharding(mesh)
+        gb = cfg.batch_size * nproc
+        hw = (cfg.image_height, cfg.image_width)
+        lbl = ((gb, *hw) if cfg.kpt_heads == 1
+               else (gb, *hw, cfg.kpt_heads))
+        sds = {
+            "image": jax.ShapeDtypeStruct((gb, *hw, 3), np.float32,
+                                          sharding=sh),
+            "radial": jax.ShapeDtypeStruct(lbl, np.float32, sharding=sh),
+            "sem": jax.ShapeDtypeStruct(lbl, np.float32, sharding=sh),
+        }
+        steps = (p_train.lower(state, sds).compile(),
+                 p_eval.lower(state, sds).compile())
+        from jax._src import distributed as _dist
+        _dist.global_state.client.wait_at_barrier(
+            "rcvpose_steps_compiled", 600_000)
     ckpt = Checkpointer(log_dir + "/ckpts")
     trainer = train.Trainer(
         cfg=cfg, state=state, mesh=mesh,
         train_batches=lambda epoch: iter(train_loader),
         val_batches=lambda: iter(val_loader),
         checkpointer=ckpt, writer=writer,
-        steps_per_epoch=steps_per_epoch)
+        steps_per_epoch=steps_per_epoch, steps=steps)
     if cfg.resume_train:
         # the reference resumes from model_best (train.py:46); the restored
         # iteration drives fit()'s epoch placement + in-epoch fast-forward
@@ -186,6 +224,7 @@ def run_train(cfg):
             state, iteration, best
     max_epochs = int(math.ceil(cfg.max_iterations / steps_per_epoch))
     trainer.fit(max_epochs)
+    return trainer
 
 
 def run_test(cfg):

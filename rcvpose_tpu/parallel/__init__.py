@@ -5,4 +5,5 @@ from rcvpose_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     sharded_frame_pose,
     sharded_vote_counts,
+    warm_collectives,
 )

@@ -21,9 +21,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def data_mesh(n_devices=None, devices=None):
-    """1-D data-parallel mesh over (a prefix of) the local devices."""
+    """1-D data-parallel mesh over ``n_devices`` global devices.
+
+    Single-process: a prefix of ``jax.devices()``. Multi-host: the mesh
+    must span EVERY process — ``jax.devices()`` lists process 0's chips
+    first, so a naive prefix of size < device_count would land entirely on
+    host 0 and the other hosts' ``make_array_from_process_local_data``
+    contributions would have no addressable shards. Instead each process
+    contributes ``n_devices / process_count`` of its local chips (the
+    first ones, in device order), so per-host batches map onto per-host
+    mesh slots. ``n_devices`` must then be a multiple of the process count.
+    """
     if devices is None:
         devices = jax.devices()
+        nproc = jax.process_count()
+        if n_devices is not None and nproc > 1 and n_devices < len(devices):
+            if n_devices % nproc:
+                raise ValueError(
+                    f"multi-host mesh size {n_devices} must be a multiple "
+                    f"of the process count {nproc}")
+            per = n_devices // nproc
+            devices = [d for p in range(nproc)
+                       for d in [q for q in devices
+                                 if q.process_index == p][:per]]
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), ("data",))
@@ -36,6 +56,28 @@ def batch_sharding(mesh):
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
+
+
+def warm_collectives(mesh):
+    """Establish the mesh clique's cross-process communicator with one
+    trivial all-reduce. Multi-host CPU collectives go through Gloo, whose
+    context init has a fixed ~30 s key-value deadline; deferring it to the
+    first real train step races that deadline against the hosts'
+    compile-completion skew (step compiles are minutes — the SKEW alone
+    can exceed 30 s, and the loser dies with "Gloo context initialization
+    failed: DEADLINE_EXCEEDED"). A sub-second reduce right after mesh
+    construction pins the init to a point where the hosts are milliseconds
+    apart; the heavy steps then reuse the established context. No-op on a
+    single process (local collectives need no context) — and the clique
+    must match: the reduce runs over exactly this mesh's devices.
+    """
+    if jax.process_count() == 1:
+        return
+    import jax.numpy as jnp
+
+    per_host = mesh.devices.size // jax.process_count()
+    x = shard_batch(mesh, np.zeros((max(per_host, 1),), np.float32))
+    jax.jit(jnp.sum, out_shardings=replicated(mesh))(x).block_until_ready()
 
 
 def shard_batch(mesh, batch):

@@ -248,8 +248,13 @@ class Trainer:
                 self.writer.add_scalar("Val_ACC", float(m["acc"]),
                                        self.iteration)
                 # sem-mask image every 50 val batches (reference
-                # train.py:108-109), when the writer supports images
-                if n % 50 == 0 and hasattr(self.writer, "add_image"):
+                # train.py:108-109), when the writer supports images.
+                # Single-host only: the writer lives on process 0, but
+                # apply_fn over a global batch is an SPMD computation every
+                # process would have to enter — a proc-0-only call here
+                # would deadlock a multi-host run at val batch 50.
+                if (n % 50 == 0 and hasattr(self.writer, "add_image")
+                        and jax.process_count() == 1):
                     import numpy as np
                     seg, _ = self.state.apply_fn(
                         {"params": self.state.params,

@@ -15,6 +15,16 @@ to end (the reference's only parallelism is single-process DataParallel,
 
 Usage: ``python scripts/multihost_smoke.py`` (parent; spawns workers)
        ``python scripts/multihost_smoke.py worker <pid> <nprocs> <port>``
+
+``--full`` runs the whole production entry point instead of a single step:
+each worker calls ``cli.run_train`` on a shared synthetic LINEMOD tree,
+which exercises distributed init -> per-process loader sharding
+(data/loader.py shard_rank/shard_count) -> cross-process mesh sizing
+(cli.run_train + parallel.data_mesh picking chips from EVERY process) ->
+pjit train/eval steps with cross-process collectives -> coordinated orbax
+checkpointing to one shared directory. The parent asserts both hosts end
+with the identical best validation loss and that the checkpoint pair
+exists on disk.
 """
 
 import os
@@ -91,6 +101,44 @@ def worker(pid, nprocs, port):
     jax.distributed.shutdown()
 
 
+def full_worker(pid, nprocs, port, tree, out):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={DEV_PER_PROC}").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nprocs, process_id=pid)
+    assert jax.device_count() == nprocs * DEV_PER_PROC
+
+    from rcvpose_tpu import cli
+    from rcvpose_tpu.config import Config
+
+    # per-host batch 1 on the 3-frame fixture: each host's train loader
+    # shards to 1 frame/epoch (floor(3/2)), mesh auto-fits to 2 devices —
+    # ONE CHIP FROM EACH PROCESS (the regression this smoke pins down:
+    # a prefix mesh would sit entirely on host 0).
+    cfg = Config(root_dataset=tree, class_name="toy", batch_size=1,
+                 max_iterations=2, model_blocks="1,1,1,1", model_width=0.125,
+                 compute_dtype="float32", image_height=32, image_width=64,
+                 out_dir=out, seed=3)
+    trainer = cli.run_train(cfg)
+    assert trainer.mesh.devices.size == nprocs, (
+        f"mesh should span one chip per process, got "
+        f"{trainer.mesh.devices.size}")
+    procs = {d.process_index for d in trainer.mesh.devices.flat}
+    assert procs == set(range(nprocs)), f"mesh covers processes {procs}"
+    print(f"MULTIHOST_FULL pid={pid} iter={trainer.iteration} "
+          f"best={trainer.best_val:.6f}", flush=True)
+    jax.distributed.shutdown()
+
+
 def _attempt():
     import socket
 
@@ -112,6 +160,64 @@ def _attempt():
         line = next(ln for ln in out.splitlines() if "MULTIHOST" in ln)
         losses.append(float(line.split("loss=")[1]))
     return losses, None
+
+
+def _attempt_full(tree, out):
+    import socket
+
+    with socket.socket() as s:  # free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "fullworker",
+             str(pid), str(N_PROCS), str(port), tree, out],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(N_PROCS)]
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    bests = []
+    for pid, (p, out_txt) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            print(out_txt)
+            return None, f"worker {pid} failed rc={p.returncode}"
+        line = next(ln for ln in out_txt.splitlines()
+                    if "MULTIHOST_FULL" in ln)
+        assert "iter=2" in line, line
+        bests.append(float(line.split("best=")[1]))
+    return bests, None
+
+
+def main_full():
+    import pathlib
+    import tempfile
+
+    import numpy as np
+
+    from tests.test_data import make_linemod_tree
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tree = make_linemod_tree(pathlib.Path(tmp),
+                                 np.random.default_rng(0),
+                                 h=32, w=64)  # FCN needs H, W % 32 == 0
+        out = os.path.join(tmp, "out")
+        err = None
+        for attempt in range(3):  # see main(): gloo init deadline vs
+            bests, err = _attempt_full(tree, out)  # cold-compile skew
+            if bests is not None:
+                break
+            print(f"attempt {attempt + 1} failed ({err}); retrying with a "
+                  "warm compile cache")
+        if bests is None:
+            raise SystemExit(err)
+        assert abs(bests[0] - bests[1]) < 1e-6, (
+            f"hosts disagree on best val loss: {bests}")
+        ckpts = os.path.join(out, "lm", "toyKp1", "ckpts")
+        for name in ("ckpt", "model_best"):
+            assert os.path.isdir(os.path.join(ckpts, name)), (
+                f"missing coordinated checkpoint {name} in {ckpts}")
+    print(f"multihost_smoke --full: {N_PROCS}-process cli.run_train, "
+          f"sharded loaders + cross-process mesh + coordinated orbax "
+          f"checkpoints, best val {bests[0]:.6f} identical on every host")
 
 
 def main():
@@ -141,5 +247,10 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "fullworker":
+        full_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+                    sys.argv[5], sys.argv[6])
+    elif "--full" in sys.argv[1:]:
+        main_full()
     else:
         main()

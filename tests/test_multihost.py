@@ -8,17 +8,28 @@ import os
 import subprocess
 import sys
 
-import pytest
-
 SCRIPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))), "scripts", "multihost_smoke.py")
 
 
-@pytest.mark.timeout(900)
 def test_two_process_distributed_train_step():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device count
     out = subprocess.run([sys.executable, SCRIPT], capture_output=True,
                          text=True, timeout=900, env=env)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "identical on every host" in out.stdout
+
+
+def test_two_process_full_run_train():
+    """The whole production entry point across 2 processes: distributed
+    init -> per-process loader shards -> a mesh spanning BOTH processes
+    (one chip each; a prefix mesh would sit entirely on host 0) ->
+    cross-process pjit collectives -> coordinated orbax checkpoints."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run([sys.executable, SCRIPT, "--full"],
+                         capture_output=True, text=True, timeout=900,
+                         env=env)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "identical on every host" in out.stdout
