@@ -1,9 +1,45 @@
+import importlib.util
+import os
+
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from rcvpose_tpu import fit
 from tests import oracles
 from tests.test_geometry import random_pose
+
+REF_HORN_PY = "/root/reference/util/horn.py"
+
+
+@pytest.fixture(scope="module")
+def ref_horn():
+    """The REAL reference Horn fit (util/horn.py:75-181, pure NumPy +
+    hand-rolled Jacobi) — the strongest possible parity oracle."""
+    if not os.path.exists(REF_HORN_PY):
+        pytest.skip("reference checkout not available")
+    spec = importlib.util.spec_from_file_location("ref_horn", REF_HORN_PY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.HornPoseFitting()
+
+
+def test_horn_matches_reference_implementation(ref_horn, rng):
+    """Differential test vs the actual reference lmshorn on the eval-path
+    shape (3 keypoint correspondences, mm scale, AccumulatorSpace.py:660-662)
+    and on larger noisy sets: the full 4x4 must agree."""
+    for n, noise in [(3, 0.0), (3, 0.5), (20, 0.0), (20, 0.2), (50, 1.0)]:
+        rt = random_pose(rng)
+        p1 = rng.normal(size=(n, 3)) * 60.0 + rng.normal(size=3) * 200.0
+        p2 = (p1 @ rt[:3, :3].T + rt[:3, 3]
+              + rng.normal(size=(n, 3)) * noise)
+        a_ref = np.zeros((4, 4))
+        ref_horn.lmshorn(p1.copy(), p2.copy(), n, a_ref)
+        a = np.asarray(fit.horn_fit(p1, p2))
+        np.testing.assert_allclose(a[:3, :3], a_ref[:3, :3], atol=5e-4,
+                                   err_msg=f"n={n} noise={noise}")
+        np.testing.assert_allclose(a[:3, 3], a_ref[:3, 3], atol=0.15,
+                                   err_msg=f"n={n} noise={noise}")
 
 
 def test_horn_recovers_exact_transform(rng):
