@@ -71,20 +71,40 @@ def generate_lm(root, class_name, kpt_indices=range(1, 4), split="val",
 
 
 def generate_ycb(root, class_name, class_id, kpt_indices=range(1, 4),
-                 batch_size=8, progress=print):
-    """Write gzip HDF5 radial-map datasets for one YCB class
-    (layout mirrored from 3DRadius_ycb.py:200-253)."""
+                 batch_size=8, progress=print, write_split=True):
+    """Write one YCB class's training HDF5 — the file its own consumers read.
+
+    Output layout mirrors the reference generator (3DRadius_ycb.py:200-253),
+    which writes BOTH the gzip'd RGB frames and the radial maps into the one
+    per-class file the dataset then opens:
+
+      <root>/<class>.hdf5            (YcbDataset, data/dataset.py; the YCB
+        /JPEGImages/<cycle>_<idx>     evaluator's frame index, eval.py)
+        /3Dradius_pt<k>_dm/<cycle>_<idx>
+
+    Radial maps are raw decimeters like the reference's ``Radius3DMap*10``
+    (no clip at generation; the >= 10 dm noise filter is the dataset
+    transform's job, reference data_loader.py:107-108 = this framework's
+    ``BatchLoader`` ``ycb_clip``).
+
+    ``write_split=True`` additionally records the generated frame ids in
+    ``<root>/<class>/Split/val.txt`` (the split file ``YcbDataset`` and
+    ``make_loaders`` read) when no split file exists yet, so
+    ``--mode gen-labels --dname ycb`` -> ``--mode train --dname ycb`` works
+    with no manual step. An existing split file is never touched.
+    """
     import h5py
     import scipy.io
 
     from rcvpose_tpu.data import readers
 
-    model_dir = os.path.join(root, "models", class_name)
-    cad_m = np.loadtxt(os.path.join(model_dir, "points.xyz"))[:, :3]
-    keypoints = np.load(os.path.join(model_dir, "Outside9.npy"))
+    keypoints = np.load(os.path.join(root, "models", class_name,
+                                     "Outside9.npy"))
 
-    h5_path = os.path.join(root, f"{class_name}_labels.hdf5")
+    h5_path = os.path.join(root, f"{class_name}.hdf5")
     data_root = os.path.join(root, "data")
+    frame_ids = []
+    inf = jnp.float32(np.inf)  # reference writes unclipped distances
     with h5py.File(h5_path, "a") as h5f:
         for cycle in sorted(os.listdir(data_root)):
             cdir = os.path.join(data_root, cycle)
@@ -108,18 +128,33 @@ def generate_ycb(root, class_name, class_id, kpt_indices=range(1, 4),
                 seg = readers.read_depth(
                     os.path.join(cdir, f"{idx}-label.png"))
                 mask = (seg == class_id).astype(np.int32)
+
+                frame_id = f"{cycle}_{idx}"
+                img_key = f"JPEGImages/{frame_id}"
+                if img_key not in h5f:
+                    image = readers.read_image(
+                        os.path.join(cdir, f"{idx}-color.png"))
+                    h5f.create_dataset(img_key, data=image,
+                                       compression="gzip",
+                                       compression_opts=9)
                 for kpt_num in kpt_indices:
                     kpt = keypoints[kpt_num]
-                    maxr = float(np.linalg.norm(cad_m - kpt, axis=1).max()
-                                 * 10.0)
                     radial, _ = labels.radial_labels(
                         depth_mm, mask, jnp.asarray(pose, jnp.float32),
-                        jnp.asarray(kpt, jnp.float32), kmat,
-                        jnp.float32(maxr), ycb_clip=True)
-                    key = f"3Dradius_pt{kpt_num}_dm/{cycle}_{idx}"
+                        jnp.asarray(kpt, jnp.float32), kmat, inf)
+                    key = f"3Dradius_pt{kpt_num}_dm/{frame_id}"
                     if key in h5f:
                         del h5f[key]
                     h5f.create_dataset(key, data=np.asarray(radial),
                                        compression="gzip",
                                        compression_opts=9)
-                progress(f"{class_name} {cycle}_{idx}")
+                frame_ids.append(frame_id)
+                progress(f"{class_name} {frame_id}")
+
+    if write_split and frame_ids:
+        split_path = os.path.join(root, class_name, "Split", "val.txt")
+        if not os.path.exists(split_path):
+            os.makedirs(os.path.dirname(split_path), exist_ok=True)
+            with open(split_path, "w") as f:
+                f.write("\n".join(frame_ids) + "\n")
+    return frame_ids
