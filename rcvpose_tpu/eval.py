@@ -177,6 +177,13 @@ class RadialMapSource:
         self._fused_cache = None  # (frame key, (seg (H,W,K), radial (H,W,K)))
 
     def maps(self, kpt_idx, image_u8, frame_id, lmo=False):
+        if not self.cfg.using_ckpts and self.cfg.dataset == "ycb":
+            raise ValueError(
+                "YCB evaluation has no precomputed-radial-map path: the "
+                "reference YCB loop always runs the network "
+                "(AccumulatorSpace.py:1044 — only the LM/LMO evaluators "
+                "have an estRadialMap branch). Re-run with using_ckpts "
+                "and --model_dir pointing at the per-class checkpoints.")
         if self.cfg.using_ckpts:
             if getattr(self.cfg, "kpt_heads", 1) > 1:
                 key = (frame_id, lmo)
@@ -307,6 +314,7 @@ def _load_models(cfg, class_name):
 def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
                         progress=print):
     """LINEMOD evaluation (reference :495-740). Returns per-class results."""
+    cfg = _dataset_eval_cfg(cfg)
     results = {}
     class_names = class_names or LM_CLASS_NAMES
     sem_threshold = cfg.sem_threshold
@@ -410,6 +418,7 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
             "frames": counter,
             "net_ms_per_frame": net_ns / max(counter, 1) / 1e6,
             "acc_ms_per_frame": acc_ns / max(counter, 1) / 1e6,
+            "vote_topk": cfg.vote_topk,
         }
         progress(f"ADD(s) of {class_name}: before ICP "
                  f"{results[class_name]['add_before_icp']:.4f}, after ICP "
@@ -421,14 +430,16 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
     return results
 
 
-def _occluded_eval_cfg(cfg):
-    """LMO default vote knob: saturated hier ``topk=64`` unless the user
-    set one. Occluded multi-object scenes are where the serving default
-    (topk=32) can pick a different near-tied peak than the exact mode on
-    ~17% of adversarial frames; the sweep in PERF.md measured topk=64 as
-    the saturation point (identical keypoint to exact on every suite,
-    including adversarial clutter) at +0.4 ms/kpt — negligible for offline
-    dataset evaluation. An explicit ``--vote_topk`` always wins."""
+def _dataset_eval_cfg(cfg):
+    """Offline-dataset default vote knob: saturated hier ``topk=64`` unless
+    the user set one. The serving default (topk=32) can pick a different
+    near-tied peak than the exact mode on ~17% of adversarial landscapes;
+    the sweep in PERF.md measured topk=64 as the saturation point
+    (identical keypoint to exact on every suite, including adversarial
+    clutter) at +0.4 ms/kpt — negligible for offline dataset evaluation,
+    so ALL dataset evaluators (LM/LMO/YCB) default to it; serving
+    (``PoseEstimator``) keeps 32 for latency. An explicit ``--vote_topk``
+    always wins."""
     import dataclasses
 
     if getattr(cfg, "vote_topk", None) is None:
@@ -446,9 +457,9 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
     skipped, :813-822), sem threshold 0.5 (:837), ICP capped at 30
     iterations (:940-942). CAD models and keypoints come from the LINEMOD
     tree (:769-772). Unless overridden, the hier vote runs at the
-    saturated ``topk=64`` (see ``_occluded_eval_cfg``).
+    saturated ``topk=64`` (see ``_dataset_eval_cfg``).
     """
-    cfg = _occluded_eval_cfg(cfg)
+    cfg = _dataset_eval_cfg(cfg)
     results = {}
     class_names = class_names or LMO_CLASS_NAMES
     root_occ = os.path.join(cfg.root_dataset, "OCCLUSION_LINEMOD")
@@ -473,6 +484,7 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
         cad_j = jnp.asarray(cad_mm, jnp.float32)
 
         bf_icp = af_icp = counter = 0
+        net_ns = acc_ns = 0
         frames = sorted(fn for fn in os.listdir(rgb_dir)
                         if fn.endswith(".png"))
         if max_frames:
@@ -493,13 +505,19 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
             est_kpts = np.zeros((3, 3))
             scene_parts, scene_masks = [], []
             for kp in range(1, 4):
-                sem_map, radial_map = source.maps(
-                    kp, image, f"_{str(frame_num).zfill(5)}", lmo=True)
-                center, overflow, count, pts_mm, mask = \
+                # blocking per-stage timers, like the LM loop (the reference
+                # plumbs net_time/acc_time in every pipeline, :826-831, :862)
+                t0 = time.perf_counter_ns()
+                sem_map, radial_map = jax.block_until_ready(source.maps(
+                    kp, image, f"_{str(frame_num).zfill(5)}", lmo=True))
+                net_ns += time.perf_counter_ns() - t0
+                t0 = time.perf_counter_ns()
+                center, overflow, count, pts_mm, mask = jax.block_until_ready(
                     keypoint_with_retry(
                         cfg, sem_map, radial_map, depth_j, k,
                         jnp.float32(max_radii[kp - 1]),
-                        jnp.float32(0.5))  # LMO sem threshold (:837)
+                        jnp.float32(0.5)))  # LMO sem threshold (:837)
+                acc_ns += time.perf_counter_ns() - t0
                 est_kpts[kp - 1] = np.asarray(center)
                 scene_parts.append(pts_mm)
                 scene_masks.append(mask)
@@ -524,14 +542,30 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
             progress(f"{class_name} {filename}: ADD(s) "
                      f"bf={bf_icp / counter:.4f} af={af_icp / counter:.4f}")
 
+            if cfg.demo_mode:
+                # estimate (red) + GT (blue) overlays, headless PNGs — the
+                # reference paints these in the LMO loop too (:899-948).
+                from rcvpose_tpu import demo
+                demo.save_demo_frame(
+                    os.path.join(cfg.out_dir, "demo_lmo", class_name),
+                    f"{frame_num:05d}", image, cad_mm, np.asarray(rt),
+                    np.asarray(k), rt_gt_mm=rt_gt_mm)
+
         results[class_name] = {
             "add_before_icp": bf_icp / max(counter, 1),
             "add_after_icp": af_icp / max(counter, 1),
             "frames": counter,
+            "net_ms_per_frame": net_ns / max(counter, 1) / 1e6,
+            "acc_ms_per_frame": acc_ns / max(counter, 1) / 1e6,
+            "vote_topk": cfg.vote_topk,
         }
         progress(f"ADD(s) of {class_name} (occ): before ICP "
                  f"{results[class_name]['add_before_icp']:.4f}, after ICP "
                  f"{results[class_name]['add_after_icp']:.4f}")
+        progress(f"{class_name} per-frame time: net "
+                 f"{results[class_name]['net_ms_per_frame']:.1f} ms, "
+                 f"accumulator "
+                 f"{results[class_name]['acc_ms_per_frame']:.1f} ms")
     return results
 
 
@@ -540,13 +574,20 @@ YCB_AUC_THRESHOLDS = [0.0, 0.02, 0.04, 0.06, 0.08, 0.1]
 
 
 def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
-                         progress=print):
+                         progress=print, map_source_factory=None):
     """YCB-Video evaluation (reference :976-1197).
 
     Layout: <root>/Split/<class>/val.txt, <root>/models/<class>/points.xyz +
     Outside9.npy, <root>/<class>.hdf5 (JPEGImages keys '<cycle>_<idx>'),
     <root>/data/<cycle>/<idx>.mat (poses, cls_indexes, factor_depth,
     intrinsic_matrix) and <idx>-{color,depth}.png.
+
+    YCB has NO precomputed-radial-map branch — the reference YCB loop
+    always runs the network (:1044); ``using_ckpts=False`` raises here
+    instead of misrouting into the LM ``estRadialMap`` tree.
+    ``map_source_factory(cfg, class_name) -> source`` is a dependency
+    injection seam for tests that need exact radial maps without a
+    trained network; the CLI never sets it.
 
     Reference quirks *not* reproduced (they are latent bugs, SURVEY.md §2.1
     #25): model_list is indexed consistently per keypoint, the Horn fit uses
@@ -559,10 +600,20 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
     import h5py
     import scipy.io
 
+    cfg = _dataset_eval_cfg(cfg)
+    if not cfg.using_ckpts and map_source_factory is None:
+        raise ValueError(
+            "YCB evaluation has no precomputed-radial-map path: the "
+            "reference YCB loop always runs the network "
+            "(AccumulatorSpace.py:1044 — only the LM/LMO evaluators have "
+            "an estRadialMap branch). Re-run with using_ckpts and "
+            "--model_dir pointing at the per-class checkpoints.")
+
     results = {}
     class_ids = class_ids or list(YCB_CLASS_NAMES)
     scores_bf, scores_af, syms_flags = [], [], []
     bf_icp = af_icp = counter = 0
+    net_ns = acc_ns = 0
 
     for class_id in class_ids:
         class_name = YCB_CLASS_NAMES[class_id]
@@ -581,12 +632,15 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
             np.linalg.norm(cad_m - keypoints[i + 1], axis=1).max() * 10.0
             for i in range(3)])
 
-        source = RadialMapSource(cfg, class_name)
-        if cfg.using_ckpts:
+        if map_source_factory is not None:
+            source = map_source_factory(cfg, class_name)
+        else:
+            source = RadialMapSource(cfg, class_name)
             source.apply_fns, source.params = _load_models(cfg, class_name)
 
         sym = class_name in YCB_SYMS
-        cad_j = jnp.asarray(cad_m * 1000.0, jnp.float32)
+        cad_mm = cad_m * 1000.0
+        cad_j = jnp.asarray(cad_mm, jnp.float32)
 
         with h5py.File(os.path.join(root, f"{class_name}.hdf5"), "r") as h5f:
             frames = [fn for fn in h5f["JPEGImages"].keys()
@@ -612,9 +666,16 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                 est_kpts = np.zeros((3, 3))
                 scene_parts, scene_masks = [], []
                 for kp in range(1, 4):
-                    sem_map, radial_map = source.maps(kp, image, filename)
+                    # blocking per-stage timers (the reference plumbs
+                    # net_time/acc_time in the YCB loop, :1043-1047,
+                    # :1066-1070)
+                    t0 = time.perf_counter_ns()
+                    sem_map, radial_map = jax.block_until_ready(
+                        source.maps(kp, image, filename))
+                    net_ns += time.perf_counter_ns() - t0
+                    t0 = time.perf_counter_ns()
                     center, overflow, count, pts_mm, mask = \
-                        keypoint_from_maps(
+                        jax.block_until_ready(keypoint_from_maps(
                             sem_map, radial_map, jnp.asarray(depth_mm), k,
                             jnp.float32(max_radii[kp - 1]),
                             jnp.float32(cfg.sem_threshold),
@@ -622,7 +683,8 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                             mode=cfg.vote_mode,
                             topk=getattr(cfg, "vote_topk", None),
                             cpt_stride=getattr(cfg, "vote_cpt_stride", None),
-                            win=getattr(cfg, "vote_win", None))
+                            win=getattr(cfg, "vote_win", None)))
+                    acc_ns += time.perf_counter_ns() - t0
                     est_kpts[kp - 1] = np.asarray(center)
                     scene_parts.append(pts_mm)
                     scene_masks.append(mask)
@@ -651,6 +713,16 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                 progress(f"{class_name} {filename}: "
                          f"bf={bf_icp / counter:.4f} af={af_icp / counter:.4f}")
 
+                if cfg.demo_mode:
+                    # estimate (red) + GT (blue) overlays, headless PNGs —
+                    # the reference paints these in the YCB loop too
+                    # (:1121-1171).
+                    from rcvpose_tpu import demo
+                    demo.save_demo_frame(
+                        os.path.join(cfg.out_dir, "demo_ycb", class_name),
+                        filename, image, cad_mm, np.asarray(rt),
+                        np.asarray(k), rt_gt_mm=rt_gt_mm)
+
     auc_bf = metrics.auc_add(np.asarray(scores_bf) / 1000.0,
                              thresholds=YCB_AUC_THRESHOLDS)
     auc_af = metrics.auc_add(np.asarray(scores_af) / 1000.0,
@@ -660,6 +732,12 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
         "add_before_icp": bf_icp / max(counter, 1),
         "add_after_icp": af_icp / max(counter, 1),
         "frames": counter,
+        "net_ms_per_frame": net_ns / max(counter, 1) / 1e6,
+        "acc_ms_per_frame": acc_ns / max(counter, 1) / 1e6,
+        "vote_topk": cfg.vote_topk,
     }
     progress(f"ADD(s) AUC before ICP: {auc_bf:.4f}, after ICP: {auc_af:.4f}")
+    progress(f"per-frame time: net "
+             f"{results['all']['net_ms_per_frame']:.1f} ms, accumulator "
+             f"{results['all']['acc_ms_per_frame']:.1f} ms")
     return results

@@ -123,6 +123,8 @@ def test_estimate_6d_pose_lm_real_format(lm_eval_tree, tmp_path):
     assert res["add_after_icp"] == 1.0, res
     assert res["net_ms_per_frame"] >= 0
     assert res["acc_ms_per_frame"] > 0
+    # offline dataset eval defaults to the saturated vote knob (PERF.md)
+    assert res["vote_topk"] == 64
     # printed running + final summaries (reference :730-740)
     assert any("ADD(s) of ape" in ln for ln in lines)
 

@@ -105,7 +105,8 @@ def test_estimate_6d_pose_lmo_real_format(tmp_path, rng):
 
     cfg = Config(root_dataset=str(root), using_ckpts=False,
                  compute_dtype="float32", vote_grid_l=96, max_points=2048,
-                 vote_mode="hier")
+                 vote_mode="hier", demo_mode=True,
+                 out_dir=str(root / "out"))
     lines = []
     results = eval_mod.estimate_6d_pose_lmo(
         cfg, class_names=["ape"], progress=lines.append)
@@ -114,6 +115,14 @@ def test_estimate_6d_pose_lmo_real_format(tmp_path, rng):
     assert res["add_before_icp"] == 1.0, res
     assert res["add_after_icp"] == 1.0, res
     assert any("(occ)" in ln for ln in lines)
+    # per-stage timers reported like the LM loop (reference :826-831, :862)
+    assert res["acc_ms_per_frame"] > 0
+    assert any("per-frame time" in ln for ln in lines)
+    # offline dataset eval defaults to the saturated vote knob
+    assert res["vote_topk"] == 64
+    # demo overlays written by the LMO loop too (reference :899-948)
+    assert os.path.isfile(
+        root / "out" / "demo_lmo" / "ape" / "00000_overlay.png")
 
 
 def test_estimate_6d_pose_ycb_real_format(tmp_path, rng):
@@ -156,21 +165,31 @@ def test_estimate_6d_pose_ycb_real_format(tmp_path, rng):
         f.create_dataset(f"JPEGImages/{cycle}_{idx}", data=img,
                          compression="gzip")
 
-    # no-ckpts radial maps: quantize depth the way the evaluator will see it
+    # exact radial maps via the test injection seam (YCB has no
+    # precomputed-map branch — reference AccumulatorSpace.py:1044 — so
+    # using_ckpts=False raises; see test below). Quantize depth the way
+    # the evaluator will see it.
     depth_seen = depth_u16.astype(np.float32) / factor_depth * 1000.0
-    os.makedirs(root / "LINEMOD_ORIG")
-    for kp, radial in enumerate(_radials(depth_seen, rot, t, k), 1):
-        d = root / "LINEMOD_ORIG" / "estRadialMap" / class_name \
-            / f"Out_pt{kp}_dm"
-        os.makedirs(d, exist_ok=True)
-        np.save(d / f"{cycle}_{idx}.npy", radial)
+    radials = _radials(depth_seen, rot, t, k)
 
-    cfg = Config(root_dataset=str(root), using_ckpts=False, dataset="ycb",
+    class ExactMaps:
+        def __init__(self, cfg, cname):
+            assert cname == class_name
+
+        def maps(self, kp, image_u8, frame_id, lmo=False):
+            radial = radials[kp - 1]
+            import jax.numpy as jnp
+            return (jnp.asarray((radial != 0).astype(np.float32)),
+                    jnp.asarray(radial))
+
+    cfg = Config(root_dataset=str(root), using_ckpts=True, dataset="ycb",
                  compute_dtype="float32", vote_grid_l=96, max_points=2048,
-                 vote_mode="hier", icp_iters=10)
+                 vote_mode="hier", icp_iters=10, demo_mode=True,
+                 out_dir=str(root / "out"))
     lines = []
     results = eval_mod.estimate_6d_pose_ycb(
-        cfg, class_ids=[class_id], progress=lines.append)
+        cfg, class_ids=[class_id], progress=lines.append,
+        map_source_factory=ExactMaps)
     res = results["all"]
     assert res["frames"] == 1
     # the 1%-of-bbox-diagonal pass threshold (~0.9 mm for this object) is
@@ -179,19 +198,44 @@ def test_estimate_6d_pose_ycb_real_format(tmp_path, rng):
     assert res["adds_auc_before_icp"] >= 0.8, res
     assert res["adds_auc_after_icp"] >= res["adds_auc_before_icp"] - 1e-6
     assert any("AUC" in ln for ln in lines)
+    # per-stage timers reported (reference plumbs net/acc in the YCB loop
+    # too, :1043-1047, :1066-1070) + the saturated offline vote knob
+    assert res["acc_ms_per_frame"] > 0
+    assert any("per-frame time" in ln for ln in lines)
+    assert res["vote_topk"] == 64
+    # demo overlays written by the YCB loop (reference :1121-1171)
+    assert os.path.isfile(root / "out" / "demo_ycb" / class_name
+                          / f"{cycle}_{idx}_overlay.png")
 
 
-def test_lmo_defaults_to_saturated_vote_topk():
-    """LMO eval runs the hier accumulator at the measured saturation point
-    (topk=64, PERF.md sweep) unless the user set --vote_topk; an explicit
-    setting always wins and the caller's cfg is never mutated."""
+def test_ycb_no_precomputed_map_path_raises(tmp_path):
+    """YCB + using_ckpts=False must fail loudly (the reference YCB loop has
+    no estRadialMap branch, AccumulatorSpace.py:1044), not misroute into the
+    LM LINEMOD_ORIG tree and die with FileNotFoundError."""
+    from rcvpose_tpu import eval as eval_mod
+
+    cfg = Config(root_dataset=str(tmp_path), using_ckpts=False,
+                 dataset="ycb")
+    with pytest.raises(ValueError, match="no precomputed-radial-map path"):
+        eval_mod.estimate_6d_pose_ycb(cfg, class_ids=[1])
+    # and the shared RadialMapSource guards the same misroute
+    src = eval_mod.RadialMapSource(cfg, "002_master_chef_can")
+    with pytest.raises(ValueError, match="no precomputed-radial-map path"):
+        src.maps(1, np.zeros((4, 4, 3), np.uint8), "0000_000001")
+
+
+def test_dataset_evals_default_to_saturated_vote_topk():
+    """All offline dataset evaluations run the hier accumulator at the
+    measured saturation point (topk=64, PERF.md sweep) unless the user set
+    --vote_topk; an explicit setting always wins and the caller's cfg is
+    never mutated. (Serving keeps the latency default 32.)"""
     from rcvpose_tpu.config import Config
-    from rcvpose_tpu.eval import _occluded_eval_cfg
+    from rcvpose_tpu.eval import _dataset_eval_cfg
 
     cfg = Config()
-    out = _occluded_eval_cfg(cfg)
+    out = _dataset_eval_cfg(cfg)
     assert out.vote_topk == 64
     assert cfg.vote_topk is None  # replace, not mutate
 
     cfg2 = Config(vote_topk=16)
-    assert _occluded_eval_cfg(cfg2) is cfg2
+    assert _dataset_eval_cfg(cfg2) is cfg2
