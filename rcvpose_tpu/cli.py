@@ -212,7 +212,10 @@ def run_train(cfg):
     ckpt = Checkpointer(log_dir + "/ckpts")
     trainer = train.Trainer(
         cfg=cfg, state=state, mesh=mesh,
-        train_batches=lambda epoch: iter(train_loader),
+        # two-arg factory: mid-epoch resume skips at the INDEX level (the
+        # skipped prefix is never read or transformed, loader.batches)
+        train_batches=lambda epoch, start_batch=0: train_loader.batches(
+            epoch, start_batch),
         val_batches=lambda: iter(val_loader),
         checkpointer=ckpt, writer=writer,
         steps_per_epoch=steps_per_epoch, steps=steps)

@@ -58,7 +58,8 @@ class BatchLoader:
         self.k = np.asarray(k, np.float32)
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._auto_epoch = 0  # epoch counter for bare iter() calls
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.ycb_clip = ycb_clip
@@ -128,23 +129,39 @@ class BatchLoader:
         n = self._shard_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _index_order(self):
+    def _index_order(self, epoch=0):
+        """Epoch ``epoch``'s sample permutation — a pure function of
+        ``(seed, epoch)``, so a resumed run replays the exact batch
+        sequence of the unbroken one and every multi-host process draws
+        the same permutation without shared rng state."""
         idx = np.arange(len(self.ds))
         if self.shuffle:
-            self.rng.shuffle(idx)
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
         if self.shard_count > 1:
             idx = idx[self.shard_rank::self.shard_count][:self._shard_len()]
         return idx
 
     def __iter__(self):
-        order = self._index_order()
+        epoch = self._auto_epoch
+        self._auto_epoch += 1
+        return self.batches(epoch)
+
+    def batches(self, epoch, start_batch=0):
+        """Epoch ``epoch``'s device-ready batches, starting at batch index
+        ``start_batch``. The skipped prefix is never read from the dataset
+        nor transformed — the index-level mid-epoch resume fast-forward
+        (a consumed-then-discarded skip would pay the host read + device
+        transform for every skipped batch; at reference scale, most of an
+        epoch of work)."""
+        order = self._index_order(epoch)
         nb = len(self)
+        start_batch = min(max(start_batch, 0), nb)
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
         def producer():
             try:
-                for b in range(nb):
+                for b in range(start_batch, nb):
                     sel = order[b * self.batch_size:(b + 1) * self.batch_size]
                     if hasattr(self.ds, "raw_batch"):
                         samples = self.ds.raw_batch(sel)

@@ -208,9 +208,23 @@ class Trainer:
         # /root/reference/train.py:142-143 — minus its off-by-one, which
         # skips one extra batch and permanently drops batch 1 of a fresh
         # epoch 0). Requires steps_per_epoch; 0 disables (epoch restart).
+        # A two-argument factory (epoch, start_batch) pushes the skip into
+        # the loader's index order so skipped batches are never read or
+        # transformed (BatchLoader.batches); a one-argument factory falls
+        # back to consuming and discarding them here.
         skip = (max(0, self.iteration - epoch * self.steps_per_epoch)
                 if self.steps_per_epoch else 0)
-        for batch in self.train_batches(epoch):
+        import inspect
+        try:
+            takes_start = len(
+                inspect.signature(self.train_batches).parameters) >= 2
+        except (TypeError, ValueError):
+            takes_start = False
+        if takes_start:
+            batches, skip = self.train_batches(epoch, skip), 0
+        else:
+            batches = self.train_batches(epoch)
+        for batch in batches:
             if skip > 0:
                 skip -= 1
                 continue

