@@ -342,24 +342,63 @@ class PoseEstimator:
         """Batched estimate: (B, H, W, 3) uint8 images + (B, H, W) mm depths
         -> batched frame dict (leading axis B on every entry). See
         ``frame_pose_batch`` for when this is (and is not) the fast path.
-        The no-dropped-votes fallbacks (``_escalate``) apply to the whole
-        batch if any frame trips them."""
-        imgs = jax.vmap(labels.normalize_image)(jnp.asarray(images_u8))
-        deps = jnp.asarray(depths_mm, jnp.float32)
+
+        The no-dropped-votes fallbacks escalate PER FRAME: the batch runs
+        once at the serving knobs, then only the frames whose escalate
+        flags tripped re-run through the single-frame path
+        (``estimate``) and their rows are spliced into the batch result.
+        Re-running the whole batch at full-frame packing / doubled budget
+        for one oversized mask would be a latency cliff under mixed load;
+        the untripped frames' results are returned exactly as the base
+        run produced them. When escalated frames grew their point budget,
+        every frame's ``scene_pts``/``scene_mask`` are zero-padded to the
+        largest budget (padded entries have mask False — they can never
+        vote and ICP ignores them)."""
+        imgs_np = np.asarray(images_u8)
+        deps_np = np.asarray(depths_mm, np.float32)
+        imgs = jax.vmap(labels.normalize_image)(jnp.asarray(imgs_np))
+        deps = jnp.asarray(deps_np)
         batch_fn = frame_pose_fused_batch if self.fused else frame_pose_batch
 
-        def run(full_frame, n_points):
-            return batch_fn(
-                self.model.apply, self.stacked, imgs, deps, self.k,
-                self.max_radii, self.gt_kpts_mm,
-                sem_threshold=self.cfg.sem_threshold,
-                n_points=n_points, grid_l=self.cfg.vote_grid_l,
-                mode=self.cfg.vote_mode, full_frame=full_frame,
-                topk=getattr(self.cfg, "vote_topk", None),
-                cpt_stride=getattr(self.cfg, "vote_cpt_stride", None),
-                win=getattr(self.cfg, "vote_win", None))
+        result = batch_fn(
+            self.model.apply, self.stacked, imgs, deps, self.k,
+            self.max_radii, self.gt_kpts_mm,
+            sem_threshold=self.cfg.sem_threshold,
+            n_points=self.cfg.max_points, grid_l=self.cfg.vote_grid_l,
+            mode=self.cfg.vote_mode, full_frame=False,
+            topk=getattr(self.cfg, "vote_topk", None),
+            cpt_stride=getattr(self.cfg, "vote_cpt_stride", None),
+            win=getattr(self.cfg, "vote_win", None))
 
-        return self._escalate(run, int(np.prod(np.shape(depths_mm)[1:])))
+        # one host fetch of the packed (B, 3) [cropped, budget, union] flags
+        esc = np.asarray(result["escalate"]).reshape(-1, 3)
+        pixels = int(np.prod(deps_np.shape[1:]))
+        tripped = (esc[:, 0] > 0) | ((esc[:, 1] > 0)
+                                     & (self.cfg.max_points < pixels))
+        if not tripped.any():
+            return result
+
+        singles = {int(i): self.estimate(imgs_np[i], deps_np[i])
+                   for i in np.nonzero(tripped)[0]}
+        n_max = max([np.shape(result["scene_pts"])[2]]
+                    + [s["scene_pts"].shape[1] for s in singles.values()])
+
+        def pad_pts(row):
+            pad = n_max - row.shape[1]
+            if pad == 0:
+                return row
+            width = [(0, 0), (0, pad)] + [(0, 0)] * (row.ndim - 2)
+            return np.pad(row, width)
+
+        out = {}
+        for key, val in result.items():
+            base = np.asarray(val)
+            rows = [np.asarray(singles[i][key]) if i in singles else base[i]
+                    for i in range(base.shape[0])]
+            if key in ("scene_pts", "scene_mask"):
+                rows = [pad_pts(r) for r in rows]
+            out[key] = np.stack(rows)
+        return out
 
     def refine(self, result, threshold_mm, icp_iters=None):
         """Optional ICP refinement of the fitted pose: align the CAD model

@@ -243,3 +243,55 @@ def test_sharded_frame_pose_matches_local(rng, tiny_net):
         np.testing.assert_allclose(np.asarray(out["centers"][i]),
                                    np.asarray(local["centers"]),
                                    atol=10.0)
+
+
+def test_estimate_batch_escalates_per_frame(rng, monkeypatch, tiny_net):
+    """One oversized mask in a batch escalates ONLY that frame through the
+    single-frame path; the other frames' rows are bit-identical to the
+    non-escalated batch run (no whole-batch latency cliff)."""
+    import dataclasses
+
+    from rcvpose_tpu import labels
+
+    monkeypatch.setattr(infer, "WIN_H", 16)
+    monkeypatch.setattr(infer, "WIN_W", 16)
+    cfg, model, vs = tiny_net
+    # sem everywhere + huge radius clip: union mask == depth > 0, so frame
+    # geometry alone decides who trips the window/budget flags
+    cfg = dataclasses.replace(cfg, sem_threshold=-1000.0)
+    est = infer.PoseEstimator(
+        cfg, vs, keypoints=rng.normal(size=(9, 3)) * 0.05,
+        max_radii_dm=[1e6, 1e6, 1e6])
+    est.model = model
+
+    imgs = (rng.uniform(size=(2, 64, 64, 3)) * 255).astype(np.uint8)
+    deps = np.zeros((2, 64, 64), np.float32)
+    deps[0, 24:36, 24:36] = 700.0   # 12x12: fits the 16x16 window + budget
+    deps[1, 4:60, 4:60] = 700.0     # 56x56: trips window AND point budget
+
+    batch = est.estimate_batch(imgs, deps)
+
+    imgs_norm = jax.vmap(labels.normalize_image)(jnp.asarray(imgs))
+    base = infer.frame_pose_batch(
+        model.apply, est.stacked, imgs_norm, jnp.asarray(deps), est.k,
+        est.max_radii, est.gt_kpts_mm, sem_threshold=cfg.sem_threshold,
+        n_points=cfg.max_points, grid_l=cfg.vote_grid_l, mode=cfg.vote_mode)
+    esc = np.asarray(base["escalate"])
+    assert not esc[0, :2].any()  # frame 0 clean
+    assert esc[1, :2].any()      # frame 1 tripped
+
+    # frame 0: bit-identical to the non-escalated run
+    for key in ("rt", "centers", "counts", "overflow"):
+        np.testing.assert_array_equal(np.asarray(batch[key][0]),
+                                      np.asarray(base[key][0]))
+    n_base = np.asarray(base["scene_pts"]).shape[2]
+    np.testing.assert_array_equal(np.asarray(batch["scene_pts"][0])[:, :n_base],
+                                  np.asarray(base["scene_pts"][0]))
+    assert not np.asarray(batch["scene_pts"][0])[:, n_base:].any()  # padding
+    assert not np.asarray(batch["scene_mask"][0])[:, n_base:].any()
+
+    # frame 1: equals the single-frame escalated result
+    single = est.estimate(imgs[1], deps[1])
+    np.testing.assert_array_equal(np.asarray(batch["centers"][1]),
+                                  np.asarray(single["centers"]))
+    assert not bool(np.asarray(batch["cropped"][1]).any())
