@@ -85,6 +85,13 @@ def build_parser():
                         help="comma-separated class subset for --mode test "
                              "(default: every dataset class, like the "
                              "reference)")
+    parser.add_argument("--eval_data_parallel", dest="eval_data_parallel",
+                        action="store_true", default=None,
+                        help="--mode test: shard evaluation frames over the "
+                             "device mesh (default: auto when >1 device)")
+    parser.add_argument("--no_eval_data_parallel", dest="eval_data_parallel",
+                        action="store_false",
+                        help="force the sequential per-frame eval loop")
     parser.add_argument("--demo_mode", action="store_true")
     parser.add_argument("--test_occ", action="store_true")
     parser.add_argument("--fake_depth", action="store_true",

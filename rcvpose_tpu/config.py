@@ -74,6 +74,10 @@ class Config:
     eval_classes: str = ""            # comma list; "" = all dataset classes
     sem_threshold: float = 0.8        # lm (AccumulatorSpace.py:603); lmo uses 0.5
     icp_iters: int = 30
+    eval_data_parallel: Optional[bool] = None  # --mode test: shard frames
+    #   over the device mesh (net -> vote -> Horn -> ICP -> ADD per frame,
+    #   whole program on device). None = auto (on when >1 device,
+    #   single-process); False forces the sequential per-frame loop
     demo_mode: bool = False
     test_occ: bool = False
     fake_depth: bool = False          # gen-labels: write meter-valued

@@ -158,6 +158,48 @@ def refine_and_add(rt, cad_mm, scene_mm, scene_mask, rt_gt_mm, sym, threshold,
     return rt2, score
 
 
+def _frame_scores(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
+                  gt_kpts_mm, cad_mm, rt_gt_mm, sym, *, sem_threshold,
+                  n_points, grid_l, mode, topk=None, cpt_stride=None,
+                  win=None, icp_iters=30):
+    """One frame's full eval compute as a pure jax function: per-keypoint
+    vote (the exact ``keypoint_from_maps`` math of the sequential loops) ->
+    Horn -> ADD -> ICP -> ADD. Shaped for vmapping over a frame batch
+    sharded on a device mesh (``parallel.sharded_frame_scores``) — the
+    data-parallel ``--mode test`` path. ``rt_gt_mm``: (3, 4) GT pose with
+    translation already in mm. Returns scores in mm plus per-keypoint
+    overflow flags (an overflowed frame must be re-run through the
+    sequential grid-retry path for strict parity)."""
+    centers, overflow, counts, pts_mm, masks = jax.vmap(
+        lambda s, r, m: keypoint_from_maps(
+            s, r, depth_mm, k, m, sem_threshold, n_points=n_points,
+            grid_l=grid_l, mode=mode, topk=topk, cpt_stride=cpt_stride,
+            win=win))(sem_maps, radial_maps, max_radii_dm)
+    rt, score_bf = pose_and_add(gt_kpts_mm, centers, cad_mm, rt_gt_mm, sym)
+    rt2, score_af = refine_and_add(
+        rt, cad_mm, pts_mm.reshape(-1, 3), masks.reshape(-1), rt_gt_mm, sym,
+        jnp.maximum(score_bf, 1e-3), icp_iters=icp_iters)
+    return {"rt": rt, "rt2": rt2, "score_bf": score_bf,
+            "score_af": score_af, "overflow": overflow}
+
+
+def _frame_scores_net(apply_fn, variables, image_norm, depth_mm, k,
+                      max_radii_dm, gt_kpts_mm, cad_mm, rt_gt_mm, sym, **kw):
+    """``_frame_scores`` with the network forward fused into the same
+    program: ``variables`` is a tuple of 3 per-keypoint trees (reference
+    3-net mode) or one multi-head tree (fused mode)."""
+    if isinstance(variables, (tuple, list)):
+        maps = [apply_fn(v, image_norm[None], False) for v in variables]
+        sem_maps = jnp.stack([m[0][0, :, :, 0] for m in maps])
+        radial_maps = jnp.stack([m[1][0, :, :, 0] for m in maps])
+    else:
+        seg, radial = apply_fn(variables, image_norm[None], False)
+        sem_maps = jnp.moveaxis(seg[0], -1, 0)
+        radial_maps = jnp.moveaxis(radial[0], -1, 0)
+    return _frame_scores(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
+                         gt_kpts_mm, cad_mm, rt_gt_mm, sym, **kw)
+
+
 class RadialMapSource:
     """Network-driven or precomputed radial/sem maps, per keypoint.
 
@@ -311,13 +353,193 @@ def _load_models(cfg, class_name):
     return apply_fns, params
 
 
+def _frame_eval_seq(cfg, source, image, source_frame_id, depth_j, k,
+                    max_radii, sem_threshold, gt_kpts_mm, cad_j, rt_gt_mm,
+                    sym, lmo=False, icp_iters=30, timers=None):
+    """One frame of the sequential eval loop: per-keypoint maps + voting
+    (with the host-side grid-overflow retry), Horn, ADD, ICP, ADD — the
+    shared body of the LM and LMO loops and the strict-parity fallback for
+    data-parallel frames whose vote grid overflowed. ``timers``: optional
+    {'net': ns, 'acc': ns} accumulator (blocking stage timers)."""
+    est_kpts = np.zeros((3, 3))
+    scene_parts, scene_masks = [], []
+    for kp in range(1, 4):
+        t0 = time.perf_counter_ns()
+        sem_map, radial_map = jax.block_until_ready(
+            source.maps(kp, image, source_frame_id, lmo=lmo))
+        if timers is not None:
+            timers["net"] += time.perf_counter_ns() - t0
+        t0 = time.perf_counter_ns()
+        center, overflow, count, pts_mm, mask = jax.block_until_ready(
+            keypoint_with_retry(cfg, sem_map, radial_map, depth_j, k,
+                                jnp.float32(max_radii[kp - 1]),
+                                jnp.float32(sem_threshold)))
+        if timers is not None:
+            timers["acc"] += time.perf_counter_ns() - t0
+        est_kpts[kp - 1] = np.asarray(center)
+        scene_parts.append(pts_mm)
+        scene_masks.append(mask)
+    rt, score_bf = pose_and_add(
+        jnp.asarray(gt_kpts_mm, jnp.float32),
+        jnp.asarray(est_kpts, jnp.float32), cad_j,
+        jnp.asarray(rt_gt_mm, jnp.float32), sym)
+    _, score_af = refine_and_add(
+        rt, cad_j, jnp.concatenate(scene_parts),
+        jnp.concatenate(scene_masks), jnp.asarray(rt_gt_mm, jnp.float32),
+        sym, jnp.maximum(score_bf, 1e-3), icp_iters=icp_iters)
+    return rt, float(score_bf), float(score_af)
+
+
+def _dp_mesh_or_none(cfg):
+    """The device mesh for data-parallel ``--mode test``, or None for the
+    sequential loop. Auto (``eval_data_parallel=None``): on when this
+    process sees more than one device. Multi-process runs stay sequential
+    (frame IO is process-local here)."""
+    dp = getattr(cfg, "eval_data_parallel", None)
+    if jax.process_count() > 1 or dp is False:
+        return None
+    if jax.device_count() < 2:
+        return None
+    from rcvpose_tpu import parallel
+    return parallel.data_mesh(jax.device_count())
+
+
+def _vote_kw(cfg):
+    return dict(sem_threshold=cfg.sem_threshold, n_points=cfg.max_points,
+                grid_l=cfg.vote_grid_l, mode=cfg.vote_mode,
+                topk=getattr(cfg, "vote_topk", None),
+                cpt_stride=getattr(cfg, "vote_cpt_stride", None),
+                win=getattr(cfg, "vote_win", None),
+                icp_iters=cfg.icp_iters)
+
+
+def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
+                      gt_kpts_mm, cad_j, sym, threshold_mm, progress,
+                      demo_ctx=None, lmo=False, icp_iters=None):
+    """One class's frame sweep, data-parallel over ``mesh`` (reference eval
+    loop AccumulatorSpace.py:553-740 scaled over chips; shared by the LM
+    and LMO evaluators).
+
+    ``frames``: list of (frame_id, loader) where ``loader()`` returns
+    (image_u8, depth_np_f32, rt_gt (3,4) translation in METERS). Chunks of
+    mesh-size frames run the fused on-device program
+    (``parallel.sharded_frame_scores``); the last chunk is padded by
+    repeating its final frame (padded outputs discarded). Frames whose
+    vote grid overflowed re-run through the sequential grid-retry path for
+    strict parity with the sequential loop. Returns the per-class results
+    dict (timers fused: the whole program is one dispatch, so net/acc are
+    reported together as ``frame_ms_per_frame``).
+    ``demo_ctx``: (out_dir, cad_mm, name_fn) to paint overlays."""
+    from rcvpose_tpu import labels as labels_mod
+    from rcvpose_tpu import parallel
+    from rcvpose_tpu import train as train_mod
+
+    B = mesh.devices.size
+    kw = _vote_kw(cfg)
+    kw["sem_threshold"] = sem_threshold
+    if icp_iters is None:
+        icp_iters = cfg.icp_iters
+    kw["icp_iters"] = icp_iters
+    apply_fn, variables = None, None
+    if cfg.using_ckpts:
+        apply_fn = train_mod.build_model(cfg).apply
+        variables = (source.params[0] if getattr(cfg, "kpt_heads", 1) > 1
+                     else tuple(source.params))
+    gt_j = jnp.asarray(gt_kpts_mm, jnp.float32)
+    mr_j = jnp.asarray(max_radii, jnp.float32)
+
+    bf_icp = af_icp = counter = 0
+    frame_ns = 0
+    for c0 in range(0, len(frames), B):
+        chunk = frames[c0:c0 + B]
+        n_real = len(chunk)
+        pad = [chunk[-1]] * (B - n_real)
+        loaded = [ld() for _, ld in chunk + pad]
+        images = [im for im, _, _ in loaded]
+        depths = np.stack([d for _, d, _ in loaded])
+        rt_gts = np.stack([p for _, _, p in loaded])
+        rt_gts_mm = rt_gts.copy()
+        rt_gts_mm[:, :, 3] *= 1000.0
+
+        t0 = time.perf_counter_ns()
+        if cfg.using_ckpts:
+            imgs_norm = jax.vmap(labels_mod.normalize_image)(
+                jnp.asarray(np.stack(images)))
+            scores = parallel.sharded_frame_scores(
+                mesh, apply_fn, variables, imgs_norm, jnp.asarray(depths),
+                jnp.asarray(rt_gts_mm, jnp.float32), k, mr_j, gt_j, cad_j,
+                sym, **kw)
+        else:
+            sems, radials = [], []
+            for (frame_id, _), (image, _, _) in zip(chunk + pad, loaded):
+                s3, r3 = [], []
+                for kp in range(1, 4):
+                    s, r = source.maps(kp, image, frame_id, lmo=lmo)
+                    s3.append(s)
+                    r3.append(r)
+                sems.append(jnp.stack(s3))
+                radials.append(jnp.stack(r3))
+            scores = parallel.sharded_frame_scores(
+                mesh, None, (jnp.stack(sems), jnp.stack(radials)), None,
+                jnp.asarray(depths), jnp.asarray(rt_gts_mm, jnp.float32),
+                k, mr_j, gt_j, cad_j, sym, **kw)
+        scores = jax.block_until_ready(scores)
+        frame_ns += time.perf_counter_ns() - t0
+
+        sbf = np.asarray(scores["score_bf"])
+        saf = np.asarray(scores["score_af"])
+        rts = np.asarray(scores["rt"])
+        overflowed = np.asarray(scores["overflow"]).reshape(B, -1).any(1)
+        for i in range(n_real):
+            frame_id, loader = chunk[i]
+            rt_i, sbf_i, saf_i = rts[i], float(sbf[i]), float(saf[i])
+            if overflowed[i]:
+                image, depth, rt_gt = loaded[i]
+                rt_gt_mm = rt_gt.copy()
+                rt_gt_mm[:, 3] *= 1000.0
+                rt_i, sbf_i, saf_i = _frame_eval_seq(
+                    cfg, source, image, frame_id,
+                    jnp.asarray(depth), k, max_radii, sem_threshold,
+                    gt_kpts_mm, cad_j, rt_gt_mm, sym, lmo=lmo,
+                    icp_iters=icp_iters)
+                rt_i = np.asarray(rt_i)
+            bf_icp += sbf_i <= threshold_mm
+            af_icp += saf_i <= threshold_mm
+            counter += 1
+            progress(f"{frame_id}: ADD(s) bf={bf_icp / counter:.4f} "
+                     f"af={af_icp / counter:.4f}")
+            if demo_ctx is not None:
+                out_dir, cad_mm, name_fn = demo_ctx
+                from rcvpose_tpu import demo
+                rt_gt_mm = loaded[i][2].copy()
+                rt_gt_mm[:, 3] *= 1000.0
+                demo.save_demo_frame(out_dir, name_fn(frame_id),
+                                     loaded[i][0], cad_mm, rt_i,
+                                     np.asarray(k), rt_gt_mm=rt_gt_mm)
+
+    return {
+        "add_before_icp": bf_icp / max(counter, 1),
+        "add_after_icp": af_icp / max(counter, 1),
+        "frames": counter,
+        "frame_ms_per_frame": frame_ns / max(counter, 1) / 1e6,
+        "vote_topk": cfg.vote_topk,
+        "data_parallel": B,
+    }
+
+
 def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
                         progress=print):
-    """LINEMOD evaluation (reference :495-740). Returns per-class results."""
+    """LINEMOD evaluation (reference :495-740). Returns per-class results.
+
+    With >1 visible device (or ``--eval_data_parallel``) each class's
+    frame sweep is sharded over the device mesh — the whole per-frame
+    program (net -> vote -> Horn -> ADD -> ICP -> ADD) runs on device,
+    ``mesh.size`` frames at a time (``_eval_lm_class_dp``)."""
     cfg = _dataset_eval_cfg(cfg)
     results = {}
     class_names = class_names or LM_CLASS_NAMES
     sem_threshold = cfg.sem_threshold
+    dp_mesh = _dp_mesh_or_none(cfg)
 
     for class_name in class_names:
         progress(f"Evaluation on {class_name}")
@@ -341,63 +563,62 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
         threshold_mm = ADD_THRESHOLD[class_name] * 1000.0
         cad_j = jnp.asarray(cad_mm, jnp.float32)
 
-        bf_icp = af_icp = counter = 0
-        net_ns = acc_ns = 0
         frame_ids = sorted(
             os.path.splitext(fn)[0]
             for fn in os.listdir(os.path.join(root_pv, "JPEGImages"))
             if fn.endswith(".jpg") and os.path.splitext(fn)[0] in test_ids)
         if max_frames:
             frame_ids = frame_ids[:max_frames]
+        gt_kpts_mm = keypoints[1:4] * 1000.0
 
-        for frame_id in frame_ids:
+        def load_frame(frame_id):
             rt_gt = np.load(os.path.join(
                 root_pv, "pose", f"pose{int(frame_id)}.npy"))
             depth = readers.read_depth(os.path.join(
                 root_orig, "data", f"depth{int(frame_id)}.dpt"))
             image = readers.read_image(os.path.join(
                 root_pv, "JPEGImages", f"{frame_id}.jpg"))
-            depth_j = jnp.asarray(depth.astype(np.float32))
+            return image, depth.astype(np.float32), rt_gt
 
-            est_kpts = np.zeros((3, 3))
-            scene_parts, scene_masks = [], []
-            for kp in range(1, 4):
-                # Per-stage timers block on device completion: JAX dispatch
-                # is async, so without block_until_ready these would time the
-                # dispatch and attribute the compute to whoever blocks first
-                # (the reference plumbed net_time/acc_time but never printed
-                # them, AccumulatorSpace.py:594-599, 627-630).
-                t0 = time.perf_counter_ns()
-                sem_map, radial_map = jax.block_until_ready(
-                    source.maps(kp, image, frame_id))
-                net_ns += time.perf_counter_ns() - t0
-                t0 = time.perf_counter_ns()
-                center, overflow, count, pts_mm, mask = jax.block_until_ready(
-                    keypoint_with_retry(
-                        cfg, sem_map, radial_map, depth_j, k,
-                        jnp.float32(max_radii[kp - 1]),
-                        jnp.float32(sem_threshold)))
-                est_kpts[kp - 1] = np.asarray(center)
-                acc_ns += time.perf_counter_ns() - t0
-                scene_parts.append(pts_mm)
-                scene_masks.append(mask)
+        if dp_mesh is not None:
+            demo_ctx = None
+            if cfg.demo_mode:
+                demo_ctx = (os.path.join(cfg.out_dir, "demo", class_name),
+                            cad_mm, lambda fid: fid)
+            results[class_name] = _eval_lm_class_dp(
+                cfg, dp_mesh, source,
+                [(fid, partial(load_frame, fid)) for fid in frame_ids],
+                k, max_radii, sem_threshold, gt_kpts_mm, cad_j, sym,
+                threshold_mm,
+                progress=lambda msg: progress(f"{class_name} {msg}"),
+                demo_ctx=demo_ctx)
+            progress(f"ADD(s) of {class_name}: before ICP "
+                     f"{results[class_name]['add_before_icp']:.4f}, after "
+                     f"ICP {results[class_name]['add_after_icp']:.4f}")
+            progress(f"{class_name} per-frame time (fused DP program): "
+                     f"{results[class_name]['frame_ms_per_frame']:.1f} ms "
+                     f"over {dp_mesh.devices.size} devices")
+            continue
 
+        bf_icp = af_icp = counter = 0
+        timers = {"net": 0, "acc": 0}
+        for frame_id in frame_ids:
+            image, depth, rt_gt = load_frame(frame_id)
             rt_gt_mm = rt_gt.copy()
             rt_gt_mm[:, 3] *= 1000.0
-            gt_kpts_mm = keypoints[1:4] * 1000.0
-            rt, score_bf = pose_and_add(
-                jnp.asarray(gt_kpts_mm, jnp.float32),
-                jnp.asarray(est_kpts, jnp.float32), cad_j,
-                jnp.asarray(rt_gt_mm, jnp.float32), sym)
-            scene = jnp.concatenate(scene_parts)
-            scene_mask = jnp.concatenate(scene_masks)
-            _, score_af = refine_and_add(
-                rt, cad_j, scene, scene_mask,
-                jnp.asarray(rt_gt_mm, jnp.float32), sym,
-                jnp.maximum(score_bf, 1e-3), icp_iters=cfg.icp_iters)
+            # Per-stage timers inside _frame_eval_seq block on device
+            # completion: JAX dispatch is async, so without
+            # block_until_ready they would time the dispatch and attribute
+            # the compute to whoever blocks first (the reference plumbed
+            # net_time/acc_time but never printed them,
+            # AccumulatorSpace.py:594-599, 627-630).
+            rt, score_bf, score_af = _frame_eval_seq(
+                cfg, source, image, frame_id, jnp.asarray(depth), k,
+                max_radii, sem_threshold, gt_kpts_mm, cad_j, rt_gt_mm, sym,
+                icp_iters=cfg.icp_iters, timers=timers)
 
-            bf_icp += float(score_bf) <= threshold_mm
-            af_icp += float(score_af) <= threshold_mm
+            bf_icp += score_bf <= threshold_mm
+            af_icp += score_af <= threshold_mm
             counter += 1
             progress(f"{class_name} {frame_id}: ADD(s) "
                      f"bf={bf_icp / counter:.4f} af={af_icp / counter:.4f}")
@@ -416,8 +637,8 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
             "add_before_icp": bf_icp / max(counter, 1),
             "add_after_icp": af_icp / max(counter, 1),
             "frames": counter,
-            "net_ms_per_frame": net_ns / max(counter, 1) / 1e6,
-            "acc_ms_per_frame": acc_ns / max(counter, 1) / 1e6,
+            "net_ms_per_frame": timers["net"] / max(counter, 1) / 1e6,
+            "acc_ms_per_frame": timers["acc"] / max(counter, 1) / 1e6,
             "vote_topk": cfg.vote_topk,
         }
         progress(f"ADD(s) of {class_name}: before ICP "
@@ -465,6 +686,7 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
     root_occ = os.path.join(cfg.root_dataset, "OCCLUSION_LINEMOD")
     rgb_dir = os.path.join(root_occ, "RGB-D", "rgb_noseg")
     depth_dir = os.path.join(root_occ, "RGB-D", "depth_noseg")
+    dp_mesh = _dp_mesh_or_none(cfg)
 
     for class_name in class_names:
         progress(f"Evaluation on {class_name} (occlusion)")
@@ -484,11 +706,45 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
         cad_j = jnp.asarray(cad_mm, jnp.float32)
 
         bf_icp = af_icp = counter = 0
-        net_ns = acc_ns = 0
+        timers = {"net": 0, "acc": 0}
         frames = sorted(fn for fn in os.listdir(rgb_dir)
                         if fn.endswith(".png"))
         if max_frames:
             frames = frames[:max_frames]
+        gt_kpts_mm = keypoints[1:4] * 1000.0
+
+        if dp_mesh is not None:
+            def load_lmo(frame_num, pose_path):
+                rt_gt = np.load(pose_path)
+                depth = readers.read_depth(os.path.join(
+                    depth_dir, f"depth_{str(frame_num).zfill(5)}.png"))
+                image = readers.read_image(os.path.join(
+                    rgb_dir, f"color_{str(frame_num).zfill(5)}.png"))
+                return image, depth.astype(np.float32), rt_gt
+
+            frames_dp = []
+            for filename in frames:
+                frame_num = int(os.path.splitext(filename)[0][6:])
+                pose_path = os.path.join(root_occ, "blender_poses",
+                                         class_name, f"pose{frame_num}.npy")
+                if not os.path.isfile(pose_path):
+                    continue  # reference pose-skip (:813-822)
+                frames_dp.append((f"_{str(frame_num).zfill(5)}",
+                                  partial(load_lmo, frame_num, pose_path)))
+            demo_ctx = None
+            if cfg.demo_mode:
+                demo_ctx = (os.path.join(cfg.out_dir, "demo_lmo",
+                                         class_name),
+                            cad_mm, lambda fid: fid[1:])
+            results[class_name] = _eval_lm_class_dp(
+                cfg, dp_mesh, source, frames_dp, k, max_radii, 0.5,
+                gt_kpts_mm, cad_j, sym, threshold_mm,
+                progress=lambda msg: progress(f"{class_name} {msg}"),
+                demo_ctx=demo_ctx, lmo=True, icp_iters=30)
+            progress(f"ADD(s) of {class_name} (occ): before ICP "
+                     f"{results[class_name]['add_before_icp']:.4f}, after "
+                     f"ICP {results[class_name]['add_after_icp']:.4f}")
+            continue
 
         for filename in frames:
             frame_num = int(os.path.splitext(filename)[0][6:])  # color_NNNNN
@@ -500,44 +756,19 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
             depth = readers.read_depth(os.path.join(
                 depth_dir, f"depth_{str(frame_num).zfill(5)}.png"))
             image = readers.read_image(os.path.join(rgb_dir, filename))
-            depth_j = jnp.asarray(depth.astype(np.float32))
-
-            est_kpts = np.zeros((3, 3))
-            scene_parts, scene_masks = [], []
-            for kp in range(1, 4):
-                # blocking per-stage timers, like the LM loop (the reference
-                # plumbs net_time/acc_time in every pipeline, :826-831, :862)
-                t0 = time.perf_counter_ns()
-                sem_map, radial_map = jax.block_until_ready(source.maps(
-                    kp, image, f"_{str(frame_num).zfill(5)}", lmo=True))
-                net_ns += time.perf_counter_ns() - t0
-                t0 = time.perf_counter_ns()
-                center, overflow, count, pts_mm, mask = jax.block_until_ready(
-                    keypoint_with_retry(
-                        cfg, sem_map, radial_map, depth_j, k,
-                        jnp.float32(max_radii[kp - 1]),
-                        jnp.float32(0.5)))  # LMO sem threshold (:837)
-                acc_ns += time.perf_counter_ns() - t0
-                est_kpts[kp - 1] = np.asarray(center)
-                scene_parts.append(pts_mm)
-                scene_masks.append(mask)
-
             rt_gt_mm = rt_gt.copy()
             rt_gt_mm[:, 3] *= 1000.0
-            gt_kpts_mm = keypoints[1:4] * 1000.0
-            rt, score_bf = pose_and_add(
-                jnp.asarray(gt_kpts_mm, jnp.float32),
-                jnp.asarray(est_kpts, jnp.float32), cad_j,
-                jnp.asarray(rt_gt_mm, jnp.float32), sym)
-            scene = jnp.concatenate(scene_parts)
-            scene_mask = jnp.concatenate(scene_masks)
-            _, score_af = refine_and_add(
-                rt, cad_j, scene, scene_mask,
-                jnp.asarray(rt_gt_mm, jnp.float32), sym,
-                jnp.maximum(score_bf, 1e-3), icp_iters=30)
+            # blocking per-stage timers, like the LM loop (the reference
+            # plumbs net_time/acc_time in every pipeline, :826-831, :862);
+            # LMO sem threshold 0.5 (:837), ICP capped at 30 (:940-942)
+            rt, score_bf, score_af = _frame_eval_seq(
+                cfg, source, image, f"_{str(frame_num).zfill(5)}",
+                jnp.asarray(depth.astype(np.float32)), k, max_radii, 0.5,
+                gt_kpts_mm, cad_j, rt_gt_mm, sym, lmo=True, icp_iters=30,
+                timers=timers)
 
-            bf_icp += float(score_bf) <= threshold_mm
-            af_icp += float(score_af) <= threshold_mm
+            bf_icp += score_bf <= threshold_mm
+            af_icp += score_af <= threshold_mm
             counter += 1
             progress(f"{class_name} {filename}: ADD(s) "
                      f"bf={bf_icp / counter:.4f} af={af_icp / counter:.4f}")
@@ -555,8 +786,8 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
             "add_before_icp": bf_icp / max(counter, 1),
             "add_after_icp": af_icp / max(counter, 1),
             "frames": counter,
-            "net_ms_per_frame": net_ns / max(counter, 1) / 1e6,
-            "acc_ms_per_frame": acc_ns / max(counter, 1) / 1e6,
+            "net_ms_per_frame": timers["net"] / max(counter, 1) / 1e6,
+            "acc_ms_per_frame": timers["acc"] / max(counter, 1) / 1e6,
             "vote_topk": cfg.vote_topk,
         }
         progress(f"ADD(s) of {class_name} (occ): before ICP "

@@ -4,6 +4,7 @@ from rcvpose_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
     sharded_frame_pose,
+    sharded_frame_scores,
     sharded_vote_counts,
     warm_collectives,
 )

@@ -138,6 +138,60 @@ def _is_fused(variables):
     return not isinstance(variables, (tuple, list))
 
 
+def sharded_frame_scores(mesh, apply_fn, variables, images_norm, depths_mm,
+                         rt_gts_mm, k, max_radii_dm, gt_kpts_mm, cad_mm, sym,
+                         **kw):
+    """Data-parallel DATASET EVALUATION: the full per-frame eval program
+    (net forward -> 3x vote -> Horn -> ADD -> ICP -> ADD) over a batch of
+    frames sharded on the mesh, weights/CAD replicated — the ``--mode
+    test`` loop (reference AccumulatorSpace.py:553-740) scaled over chips.
+    Differs from ``sharded_frame_pose`` (the SERVING program: windowed
+    shared packing, no GT) in that it runs the exact sequential-eval math
+    (``eval.keypoint_from_maps`` per keypoint against the GT pose) so a
+    data-parallel ``--mode test`` reproduces the sequential loop's ADD.
+
+    ``apply_fn=None`` evaluates precomputed radial maps instead: pass
+    (B, 3, H, W) sem/radial stacks as ``images_norm`` via
+    ``maps=(sems, radials)`` in place of ``variables``/``images_norm``.
+    Batch size must be a multiple of the mesh size. Returns per-frame
+    score_bf/score_af (mm), rts and overflow flags, sharded on the
+    leading axis.
+    """
+    from rcvpose_tpu import eval as eval_mod
+
+    bsh = batch_sharding(mesh)
+    repl = replicated(mesh)
+    # per-class data (CAD cloud, intrinsics, clips, GT kpts, symmetry) are
+    # traced ARGUMENTS, not closure captures: captures bake into the HLO as
+    # inline constants (remote-compile payload blowup) and force a fresh
+    # compile per class even at equal shapes
+    import jax.numpy as jnp
+    sym = jnp.asarray(sym, bool)
+
+    if apply_fn is None:
+        sems, radials = variables  # (B, 3, H, W) precomputed maps
+
+        def one(sem, rad, dep, rt_gt, k, mr, gk, cad, sym):
+            return eval_mod._frame_scores(sem, rad, dep, k, mr, gk, cad,
+                                          rt_gt, sym, **kw)
+
+        batched = jax.jit(
+            jax.vmap(one, in_axes=(0, 0, 0, 0) + (None,) * 5),
+            in_shardings=(bsh, bsh, bsh, bsh) + (repl,) * 5)
+        return batched(sems, radials, depths_mm, rt_gts_mm, k, max_radii_dm,
+                       gt_kpts_mm, cad_mm, sym)
+
+    def one(vars_, img, dep, rt_gt, k, mr, gk, cad, sym):
+        return eval_mod._frame_scores_net(apply_fn, vars_, img, dep, k, mr,
+                                          gk, cad, rt_gt, sym, **kw)
+
+    batched = jax.jit(
+        jax.vmap(one, in_axes=(None, 0, 0, 0) + (None,) * 5),
+        in_shardings=(repl, bsh, bsh, bsh) + (repl,) * 5)
+    return batched(variables, images_norm, depths_mm, rt_gts_mm, k,
+                   max_radii_dm, gt_kpts_mm, cad_mm, sym)
+
+
 def sharded_vote_counts(mesh, voxels, points, lo, hi):
     """Vote counting with points sharded over the mesh and grids psum-ed.
 

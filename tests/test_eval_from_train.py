@@ -48,11 +48,17 @@ def test_eval_from_orbax_checkpoints(tmp_path, rng, kpt_heads):
 
     tree = make_lm_eval_tree(tmp_path / "data", rng, h=128, w=160)
     model_dir = str(tmp_path / "trained")
+    # kpt_heads=1 pins the sequential loop; kpt_heads=3 leaves
+    # eval_data_parallel on auto, so under the conftest's 8-device mesh it
+    # exercises the data-parallel --mode test path end to end from a
+    # trained fused checkpoint (net -> vote -> fit on device, frames
+    # sharded)
     cfg = Config(root_dataset=tree, using_ckpts=True, model_dir=model_dir,
                  model_blocks="1,1,1,1", model_width=0.125,
                  compute_dtype="float32", kpt_heads=kpt_heads,
                  image_height=128, image_width=160, vote_grid_l=96,
-                 max_points=2048, vote_mode="hier", icp_iters=5)
+                 max_points=2048, vote_mode="hier", icp_iters=5,
+                 eval_data_parallel=(None if kpt_heads == 3 else False))
 
     if kpt_heads == 1:
         # 3-net reference layout: <model_dir>/<class>_pt<k>/ orbax dirs
@@ -71,7 +77,11 @@ def test_eval_from_orbax_checkpoints(tmp_path, rng, kpt_heads):
     assert res["frames"] == 2
     assert np.isfinite(res["add_before_icp"])
     assert np.isfinite(res["add_after_icp"])
-    assert res["net_ms_per_frame"] > 0
+    if kpt_heads == 3:  # data-parallel sweep engaged (fused checkpoint)
+        assert res["data_parallel"] == jax.device_count()
+        assert res["frame_ms_per_frame"] > 0
+    else:
+        assert res["net_ms_per_frame"] > 0
 
 
 def test_missing_checkpoints_error_names_both_formats(tmp_path, rng):

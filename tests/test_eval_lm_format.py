@@ -108,7 +108,7 @@ def test_estimate_6d_pose_lm_real_format(lm_eval_tree, tmp_path):
     cfg = Config(root_dataset=lm_eval_tree, using_ckpts=False,
                  compute_dtype="float32", vote_grid_l=96, max_points=2048,
                  vote_mode="hier", icp_iters=10, demo_mode=True,
-                 out_dir=str(tmp_path / "logs"))
+                 out_dir=str(tmp_path / "logs"), eval_data_parallel=False)
     lines = []
     results = eval_mod.estimate_6d_pose_lm(
         cfg, class_names=["ape"], progress=lines.append)
@@ -154,3 +154,42 @@ def test_eval_ply_unit_guard(lm_eval_tree, rng):
         eval_mod.estimate_6d_pose_lm(
             Config(root_dataset=lm_eval_tree, using_ckpts=False),
             class_names=["ape"], progress=lambda *_: None)
+
+
+def test_lm_eval_data_parallel_matches_sequential(lm_eval_tree, tmp_path):
+    """--mode test sharded over the 8-virtual-device mesh (frames data-
+    parallel, the whole per-frame program on device) must reproduce the
+    sequential loop's per-class ADD exactly (VERDICT r2 item 2; reference
+    behavior being scaled: the eval loop AccumulatorSpace.py:553-740)."""
+    import dataclasses
+
+    import jax
+
+    from rcvpose_tpu import eval as eval_mod
+
+    assert jax.device_count() >= 2  # conftest forces the 8-device CPU mesh
+
+    cfg = Config(root_dataset=lm_eval_tree, using_ckpts=False,
+                 compute_dtype="float32", vote_grid_l=96, max_points=2048,
+                 vote_mode="hier", icp_iters=10,
+                 eval_data_parallel=False, demo_mode=True,
+                 out_dir=str(tmp_path / "seq"))
+    seq = eval_mod.estimate_6d_pose_lm(cfg, class_names=["ape"],
+                                       progress=lambda *_: None)["ape"]
+
+    cfg_dp = dataclasses.replace(cfg, eval_data_parallel=True,
+                                 out_dir=str(tmp_path / "dp"))
+    lines = []
+    dp = eval_mod.estimate_6d_pose_lm(cfg_dp, class_names=["ape"],
+                                      progress=lines.append)["ape"]
+
+    assert dp["frames"] == seq["frames"] == 2
+    assert dp["add_before_icp"] == seq["add_before_icp"]
+    assert dp["add_after_icp"] == seq["add_after_icp"]
+    assert dp["data_parallel"] == jax.device_count()
+    assert dp["frame_ms_per_frame"] > 0
+    assert any("fused DP program" in ln for ln in lines)
+    # demo overlays written from the DP path too
+    assert sorted(os.listdir(os.path.join(str(tmp_path / "dp"), "demo",
+                                          "ape"))) == [
+        "000000_overlay.png", "000001_overlay.png"]
