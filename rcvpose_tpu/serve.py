@@ -78,23 +78,34 @@ def _recv_json(sock, limit=_MAX_HEADER):
 # ---------------------------------------------------------------------------
 
 class PoseServer:
-    """Serve one class's ``PoseEstimator`` over TCP.
+    """Serve one or many classes' ``PoseEstimator``s over TCP.
 
-    ``estimator`` must be a constructed ``infer.PoseEstimator`` (weights
-    already loaded); pass ``cad_mm`` to its constructor if clients will
-    request ICP refinement. ``warmup_hw`` compiles the frame program at the
-    given (H, W) before the socket opens so the first client request does
-    not pay the compile.
+    ``estimator`` is the default ``infer.PoseEstimator`` (weights already
+    loaded), used when a pose request names no class; pass ``cad_mm`` to
+    its constructor if clients will request ICP refinement. A deployment
+    usually hosts several object classes (the reference evaluates 13):
+    pass ``estimator_factory(class_name) -> PoseEstimator`` and pose
+    requests may carry ``"class_name"`` — estimators are built lazily on
+    first use and cached for the server's lifetime (the build + first
+    compile happens under the request lock; later requests for that class
+    pay nothing). ``warmup_hw`` compiles the default estimator's frame
+    program at the given (H, W) before the socket opens so the first
+    client request does not pay the compile.
     """
 
-    def __init__(self, estimator, warmup_hw=None):
+    def __init__(self, estimator=None, warmup_hw=None,
+                 estimator_factory=None, class_name=None):
         import jax
         self._jax = jax
         self.estimator = estimator
+        self._factory = estimator_factory
+        self._estimators = {}
+        if estimator is not None and class_name is not None:
+            self._estimators[class_name] = estimator
         self._lock = threading.Lock()  # one chip: serialize execution
         self._server = None
         self._thread = None
-        if warmup_hw is not None:
+        if warmup_hw is not None and estimator is not None:
             h, w = warmup_hw
             img = np.zeros((h, w, 3), np.uint8)
             dep = np.zeros((h, w), np.float32)
@@ -102,6 +113,25 @@ class PoseServer:
             jax.block_until_ready(self.estimator.estimate(img, dep)["rt"])
 
     # -- request handling ---------------------------------------------------
+
+    def _estimator_for(self, class_name):
+        """Resolve a pose request's estimator (caller holds the lock)."""
+        if class_name is None:
+            if self.estimator is None:
+                raise ValueError(
+                    "server has no default estimator; pose requests must "
+                    "carry a class_name")
+            return self.estimator
+        est = self._estimators.get(class_name)
+        if est is not None:
+            return est
+        if self._factory is None:
+            raise ValueError(
+                f"server hosts a single class and no estimator factory; "
+                f"cannot serve class_name={class_name!r}")
+        est = self._factory(class_name)
+        self._estimators[class_name] = est
+        return est
 
     def _handle_pose(self, header, payload):
         h, w = int(header["h"]), int(header["w"])
@@ -116,18 +146,20 @@ class PoseServer:
                               np.uint8).reshape(h, w, 3)
         depth = np.frombuffer(payload[h * w * 3:],
                               "<f4").reshape(h, w)
+        class_name = header.get("class_name")
 
         t0 = time.perf_counter()
         with self._lock:
-            result = self.estimator.estimate(image, depth)
+            est = self._estimator_for(class_name)
+            result = est.estimate(image, depth)
             rt = result["rt"]
             icp_applied = False
             if header.get("icp"):
-                if self.estimator.cad_mm is None:
+                if est.cad_mm is None:
                     raise ValueError(
                         "server was started without a CAD model; ICP "
                         "refinement is unavailable")
-                rt = self.estimator.refine(
+                rt = est.refine(
                     result,
                     threshold_mm=float(header.get("icp_threshold_mm", 20.0)),
                     icp_iters=(int(header["icp_iters"])
@@ -139,7 +171,7 @@ class PoseServer:
                 (rt, result["centers"], result["counts"],
                  result["overflow"]))
         ms = (time.perf_counter() - t0) * 1e3
-        return {
+        reply = {
             "ok": True,
             "rt": np.asarray(rt, np.float64).tolist(),
             "centers": np.asarray(centers, np.float64).tolist(),
@@ -148,6 +180,9 @@ class PoseServer:
             "ms": round(ms, 3),
             "icp_applied": icp_applied,
         }
+        if class_name is not None:
+            reply["class_name"] = class_name
+        return reply
 
     def _handle_connection(self, sock, recv_timeout=300.0):
         # A half-sent frame must not wedge the connection forever: the
@@ -241,11 +276,13 @@ class PoseClient:
         return _recv_json(self._sock, limit=_MAX_PAYLOAD)
 
     def pose(self, image_u8, depth_mm, icp=False, icp_threshold_mm=None,
-             icp_iters=None):
+             icp_iters=None, class_name=None):
         image = np.ascontiguousarray(image_u8, np.uint8)
         depth = np.ascontiguousarray(depth_mm, "<f4")
         h, w = depth.shape
         header = {"op": "pose", "h": h, "w": w}
+        if class_name is not None:
+            header["class_name"] = class_name
         if icp:
             header["icp"] = True
             if icp_threshold_mm is not None:
@@ -293,8 +330,14 @@ def build_lm_estimator(cfg, class_name):
 
 
 def run_serve(cfg):
-    """``--mode serve`` entry: load ``cfg.class_name``'s assets and serve."""
+    """``--mode serve`` entry: load ``cfg.class_name``'s assets and serve.
+
+    ``cfg.class_name`` is the pre-warmed default; pose requests carrying
+    another ``class_name`` lazily load that class's checkpoints/assets
+    from the same tree and cache the estimator (multi-class serving)."""
     est = build_lm_estimator(cfg, cfg.class_name)
     warm = (cfg.image_height, cfg.image_width)
-    PoseServer(est, warmup_hw=warm).serve_forever(cfg.serve_host,
-                                                  cfg.serve_port)
+    server = PoseServer(
+        est, warmup_hw=warm, class_name=cfg.class_name,
+        estimator_factory=lambda cname: build_lm_estimator(cfg, cname))
+    server.serve_forever(cfg.serve_host, cfg.serve_port)

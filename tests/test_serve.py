@@ -200,3 +200,65 @@ def test_build_lm_estimator_and_serve(tmp_path, rng):
     finally:
         cli.close()
         srv.shutdown()
+
+
+def test_multi_class_serving_one_connection(server):
+    """A deployment hosts several classes (the reference evaluates 13): a
+    pose request carrying class_name lazily builds that class's estimator
+    via the factory, caches it, and serves it alongside the default — all
+    over ONE persistent connection."""
+    cfg = Config(compute_dtype="float32", vote_grid_l=64, max_points=512,
+                 vote_mode="hier", model_width=0.125,
+                 model_blocks="1,1,1,1", icp_iters=4)
+    model = train_mod.build_model(cfg)
+    rng = np.random.default_rng(7)
+    built = []
+
+    def factory(cname):
+        built.append(cname)
+        seed = {"ape": 10, "cat": 20}[cname]
+        variables = [model.init(jax.random.PRNGKey(seed + i),
+                                jnp.zeros((1, 32, 32, 3), jnp.float32),
+                                False) for i in range(3)]
+        keypoints = np.zeros((9, 3))
+        keypoints[1:4] = rng.normal(size=(3, 3)) * 0.05
+        return infer.PoseEstimator(cfg, variables, keypoints,
+                                   max_radii_dm=np.array([2.0, 2.2, 2.4]))
+
+    srv = serve.PoseServer(estimator_factory=factory)
+    host, port = srv.start(port=0)
+    cli = serve.PoseClient(host, port)
+    try:
+        image, depth = _frame(4)
+        res_ape = cli.pose(image, depth, class_name="ape")
+        assert res_ape["ok"] and res_ape["class_name"] == "ape"
+        res_cat = cli.pose(image, depth, class_name="cat")
+        assert res_cat["ok"] and res_cat["class_name"] == "cat"
+        # different weights/keypoints -> different poses
+        assert not np.allclose(np.asarray(res_ape["rt"]),
+                               np.asarray(res_cat["rt"]))
+        # cached: a repeat request does not rebuild
+        res_ape2 = cli.pose(image, depth, class_name="ape")
+        np.testing.assert_array_equal(np.asarray(res_ape2["rt"]),
+                                      np.asarray(res_ape["rt"]))
+        assert built == ["ape", "cat"]
+        # no default estimator: a classless request errors, connection lives
+        res = cli.pose(image, depth)
+        assert res["ok"] is False and "class_name" in res["error"]
+        assert cli.ping()["ok"]
+    finally:
+        cli.close()
+        srv.shutdown()
+
+
+def test_single_class_server_rejects_other_classes(server):
+    """A server started without a factory must refuse foreign classes
+    loudly instead of silently serving the wrong model."""
+    cli = serve.PoseClient(*server)
+    try:
+        image, depth = _frame(5)
+        res = cli.pose(image, depth, class_name="driller")
+        assert res["ok"] is False and "single class" in res["error"]
+        assert cli.ping()["ok"]
+    finally:
+        cli.close()
