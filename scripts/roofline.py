@@ -27,10 +27,21 @@ V5E_HBM_BPS = 819e9
 
 
 def cost(jitted, *args):
-    """(flops, hbm_bytes) from XLA's cost model for a jitted fn."""
+    """(flops, hbm_bytes) from XLA's cost model for a jitted fn.
+
+    Callers must pass the SAME reduced-output program that is timed
+    (`chain_time` bodies reduce to a scalar): costing a full-output
+    variant would count output HBM writes the timed program elides,
+    overstating %HBM-roof (possibly past 100%).
+    """
     c = jitted.lower(*args).compile().cost_analysis()
     if isinstance(c, list):  # older jax returns one dict per device
         c = c[0]
+    if not c:  # some backend/jax versions return None/{}
+        raise RuntimeError(
+            "compiled.cost_analysis() returned nothing on this "
+            f"backend ({jax.default_backend()}); roofline needs XLA's "
+            "cost model")
     return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
 
 
@@ -67,14 +78,15 @@ def main():
 
     rows = []
 
-    # --- net forward ---
-    fwd = jax.jit(lambda v, x: model.apply(v, x, False))
-    flops, hbm = cost(fwd, variables, image)
-    dt = chain_time(
-        lambda v, im: model.apply(v, im, False)[1].astype(jnp.float32).mean(),
-        (variables,), image, reps=128 if backend != "cpu" else 8)
-    rows.append(("net fwd 480x640 bf16", flops, hbm, dt))
+    # --- net forward --- (cost from the same reduced program as timed)
+    fwd_red = lambda v, im: (  # noqa: E731
+        model.apply(v, im, False)[1].astype(jnp.float32).mean())
+    flops, hbm = cost(jax.jit(fwd_red), variables, image)
+    dt = chain_time(fwd_red, (variables,), image,
+                    reps=128 if backend != "cpu" else 8)
+    rows.append(("net fwd 480x640 bf16", "bf16", flops, hbm, dt))
 
+    fwd = jax.jit(lambda v, x: model.apply(v, x, False))
     seg, radial = fwd(variables, image)
     sem_map = seg[0, :, :, 0]
     radial_map = jnp.asarray(radial[0, :, :, 0], jnp.float32)
@@ -91,7 +103,7 @@ def main():
     dt = chain_time(vote, (sem_map, depth), radial_map,
                     reps=256 if backend != "cpu" else 16)
     rows.append((f"hier vote {cfg.max_points}pts L={cfg.vote_grid_l}",
-                 flops, hbm, dt))
+                 "f32/VPU", flops, hbm, dt))
 
     # --- Horn fit ---
     gt = jnp.asarray(rng.normal(size=(3, 3)) * 100, jnp.float32)
@@ -100,18 +112,29 @@ def main():
     flops, hbm = cost(jf, gt, gt + 1.0)
     dt = chain_time(fitfn, (gt,), gt + 1.0,
                     reps=1024 if backend != "cpu" else 64)
-    rows.append(("horn fit 3kpt", flops, hbm, dt))
+    rows.append(("horn fit 3kpt", "f32/VPU", flops, hbm, dt))
 
+    on_tpu = backend == "tpu"
     print(f"backend={backend}  peaks: {V5E_BF16_FLOPS/1e12:.0f} TFLOP/s "
-          f"bf16, {V5E_HBM_BPS/1e9:.0f} GB/s HBM")
-    print(f"{'stage':36s} {'ms':>8s} {'GFLOP':>9s} {'GB':>7s} "
+          f"bf16, {V5E_HBM_BPS/1e9:.0f} GB/s HBM"
+          + ("" if on_tpu else "  [%roof columns N/A off-TPU]"))
+    print(f"{'stage':36s} {'dtype':>8s} {'ms':>8s} {'GFLOP':>9s} {'GB':>7s} "
           f"{'%FLOP-roof':>10s} {'%HBM-roof':>9s} {'bound':>6s}")
-    for name, flops, hbm, dt in rows:
+    for name, dty, flops, hbm, dt in rows:
+        if not on_tpu:  # v5e peaks are meaningless against CPU timings
+            print(f"{name:36s} {dty:>8s} {dt*1e3:8.2f} {flops/1e9:9.2f} "
+                  f"{hbm/1e9:7.3f} {'N/A':>10s} {'N/A':>9s} {'N/A':>6s}")
+            continue
         fu = flops / dt / V5E_BF16_FLOPS * 100
         bu = hbm / dt / V5E_HBM_BPS * 100
         bound = "flops" if fu > bu else "hbm"
-        print(f"{name:36s} {dt*1e3:8.2f} {flops/1e9:9.2f} {hbm/1e9:7.3f} "
-              f"{fu:10.1f} {bu:9.1f} {bound:>6s}")
+        print(f"{name:36s} {dty:>8s} {dt*1e3:8.2f} {flops/1e9:9.2f} "
+              f"{hbm/1e9:7.3f} {fu:10.1f} {bu:9.1f} {bound:>6s}")
+    if on_tpu:
+        print("note: %FLOP-roof is vs the bf16 MXU peak; for f32/VPU-"
+              "dominated stages (vote, fit) that roof is unreachable, so "
+              "their %FLOP-roof is a lower bound and the hbm/flops 'bound' "
+              "call should be read from the HBM column.")
 
 
 if __name__ == "__main__":
