@@ -447,6 +447,7 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
                      else tuple(source.params))
     gt_j = jnp.asarray(gt_kpts_mm, jnp.float32)
     mr_j = jnp.asarray(max_radii, jnp.float32)
+    ks = jnp.tile(jnp.asarray(k, jnp.float32)[None], (B, 1, 1))
 
     bf_icp = af_icp = counter = 0
     frame_ns = 0
@@ -467,7 +468,7 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
                 jnp.asarray(np.stack(images)))
             scores = parallel.sharded_frame_scores(
                 mesh, apply_fn, variables, imgs_norm, jnp.asarray(depths),
-                jnp.asarray(rt_gts_mm, jnp.float32), k, mr_j, gt_j, cad_j,
+                jnp.asarray(rt_gts_mm, jnp.float32), ks, mr_j, gt_j, cad_j,
                 sym, **kw)
         else:
             sems, radials = [], []
@@ -482,7 +483,7 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
             scores = parallel.sharded_frame_scores(
                 mesh, None, (jnp.stack(sems), jnp.stack(radials)), None,
                 jnp.asarray(depths), jnp.asarray(rt_gts_mm, jnp.float32),
-                k, mr_j, gt_j, cad_j, sym, **kw)
+                ks, mr_j, gt_j, cad_j, sym, **kw)
         scores = jax.block_until_ready(scores)
         frame_ns += time.perf_counter_ns() - t0
 
@@ -804,6 +805,79 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
 YCB_AUC_THRESHOLDS = [0.0, 0.02, 0.04, 0.06, 0.08, 0.1]
 
 
+def _eval_ycb_frames_dp(cfg, mesh, source, metas, max_radii, gt_kpts_mm,
+                        cad_j, sym):
+    """One YCB class's frames, data-parallel over ``mesh``.
+
+    ``metas``: list of (filename, rt_gt (3,4) meters, k (3,3), loader)
+    where ``loader()`` returns (image_u8, depth_mm f32) — the .mat data is
+    pre-read (the sequential loop needs it to decide the class-presence
+    skip anyway). YCB intrinsics ride per-frame through the sharded
+    program. No overflow retry: the sequential YCB loop has none
+    (reference :1049-1070), so parity means none here either. Returns
+    (rows, ns): rows = [(filename, image, rt_gt_mm, k, rt, sbf, saf)] in
+    input order.
+    """
+    from rcvpose_tpu import labels as labels_mod
+    from rcvpose_tpu import parallel
+    from rcvpose_tpu import train as train_mod
+
+    B = mesh.devices.size
+    kw = _vote_kw(cfg)
+    use_net = cfg.using_ckpts and getattr(source, "params", None) is not None
+    apply_fn, variables = None, None
+    if use_net:
+        apply_fn = train_mod.build_model(cfg).apply
+        variables = (source.params[0] if getattr(cfg, "kpt_heads", 1) > 1
+                     else tuple(source.params))
+    gt_j = jnp.asarray(gt_kpts_mm, jnp.float32)
+    mr_j = jnp.asarray(max_radii, jnp.float32)
+
+    rows, ns = [], 0
+    for c0 in range(0, len(metas), B):
+        chunk = metas[c0:c0 + B]
+        n_real = len(chunk)
+        padded = chunk + [chunk[-1]] * (B - n_real)
+        loaded = [ld() for _, _, _, ld in padded]
+        depths = np.stack([d for _, d in loaded])
+        ks = np.stack([m[2] for m in padded]).astype(np.float32)
+        rt_gts_mm = np.stack([m[1] for m in padded]).astype(np.float32)
+        rt_gts_mm[:, :, 3] *= 1000.0
+
+        t0 = time.perf_counter_ns()
+        if use_net:
+            imgs_norm = jax.vmap(labels_mod.normalize_image)(
+                jnp.asarray(np.stack([im for im, _ in loaded])))
+            scores = parallel.sharded_frame_scores(
+                mesh, apply_fn, variables, imgs_norm, jnp.asarray(depths),
+                jnp.asarray(rt_gts_mm), jnp.asarray(ks), mr_j, gt_j, cad_j,
+                sym, **kw)
+        else:
+            sems, radials = [], []
+            for (filename, _, _, _), (image, _) in zip(padded, loaded):
+                s3, r3 = [], []
+                for kp in range(1, 4):
+                    s, r = source.maps(kp, image, filename)
+                    s3.append(s)
+                    r3.append(r)
+                sems.append(jnp.stack(s3))
+                radials.append(jnp.stack(r3))
+            scores = parallel.sharded_frame_scores(
+                mesh, None, (jnp.stack(sems), jnp.stack(radials)), None,
+                jnp.asarray(depths), jnp.asarray(rt_gts_mm),
+                jnp.asarray(ks), mr_j, gt_j, cad_j, sym, **kw)
+        scores = jax.block_until_ready(scores)
+        ns += time.perf_counter_ns() - t0
+
+        sbf = np.asarray(scores["score_bf"])
+        saf = np.asarray(scores["score_af"])
+        rts = np.asarray(scores["rt"])
+        for i in range(n_real):
+            rows.append((chunk[i][0], loaded[i][0], rt_gts_mm[i],
+                         chunk[i][2], rts[i], float(sbf[i]), float(saf[i])))
+    return rows, ns
+
+
 def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                          progress=print, map_source_factory=None):
     """YCB-Video evaluation (reference :976-1197).
@@ -844,7 +918,8 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
     class_ids = class_ids or list(YCB_CLASS_NAMES)
     scores_bf, scores_af, syms_flags = [], [], []
     bf_icp = af_icp = counter = 0
-    net_ns = acc_ns = 0
+    net_ns = acc_ns = dp_ns = 0
+    dp_mesh = _dp_mesh_or_none(cfg)
 
     for class_id in class_ids:
         class_name = YCB_CLASS_NAMES[class_id]
@@ -878,6 +953,58 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                       if fn in test_ids]
             if max_frames:
                 frames = frames[:max_frames]
+
+            if dp_mesh is not None:
+                # data-parallel class sweep: .mat metas read up front (the
+                # class-presence skip needs them), images/depths lazily
+                def load_rgbd(cycle, idx, factor):
+                    image = readers.read_image(os.path.join(
+                        root, "data", cycle, f"{idx}-color.png"))
+                    depth_png = readers.read_depth(os.path.join(
+                        root, "data", cycle, f"{idx}-depth.png"))
+                    return image, (depth_png.astype(np.float32)
+                                   / factor * 1000.0)
+
+                metas = []
+                for filename in frames:
+                    cycle, idx = filename.split("_")
+                    meta = scipy.io.loadmat(
+                        os.path.join(root, "data", cycle, f"{idx}.mat"))
+                    sel = np.where(
+                        meta["cls_indexes"].ravel() == class_id)[0]
+                    if sel.size == 0:
+                        continue
+                    factor = float(
+                        np.asarray(meta["factor_depth"]).ravel()[0])
+                    metas.append((
+                        filename, meta["poses"][:, :, sel[0]],
+                        np.asarray(meta["intrinsic_matrix"], np.float32),
+                        partial(load_rgbd, cycle, idx, factor)))
+                if not metas:
+                    continue
+                rows, ns = _eval_ycb_frames_dp(
+                    cfg, dp_mesh, source, metas, max_radii,
+                    keypoints[1:4] * 1000.0, cad_j, sym)
+                dp_ns += ns
+                for filename, image, rt_gt_mm, k_np, rt, sbf, saf in rows:
+                    scores_bf.append(sbf)
+                    scores_af.append(saf)
+                    syms_flags.append(sym)
+                    bf_icp += sbf <= bbox_diag_mm * 0.01
+                    af_icp += saf <= bbox_diag_mm * 0.01
+                    counter += 1
+                    progress(f"{class_name} {filename}: "
+                             f"bf={bf_icp / counter:.4f} "
+                             f"af={af_icp / counter:.4f}")
+                    if cfg.demo_mode:
+                        from rcvpose_tpu import demo
+                        demo.save_demo_frame(
+                            os.path.join(cfg.out_dir, "demo_ycb",
+                                         class_name),
+                            filename, image, cad_mm, rt, k_np,
+                            rt_gt_mm=rt_gt_mm)
+                continue
+
             for filename in frames:
                 cycle, idx = filename.split("_")
                 meta = scipy.io.loadmat(
@@ -963,12 +1090,19 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
         "add_before_icp": bf_icp / max(counter, 1),
         "add_after_icp": af_icp / max(counter, 1),
         "frames": counter,
-        "net_ms_per_frame": net_ns / max(counter, 1) / 1e6,
-        "acc_ms_per_frame": acc_ns / max(counter, 1) / 1e6,
         "vote_topk": cfg.vote_topk,
     }
     progress(f"ADD(s) AUC before ICP: {auc_bf:.4f}, after ICP: {auc_af:.4f}")
-    progress(f"per-frame time: net "
-             f"{results['all']['net_ms_per_frame']:.1f} ms, accumulator "
-             f"{results['all']['acc_ms_per_frame']:.1f} ms")
+    if dp_mesh is not None:
+        results["all"]["frame_ms_per_frame"] = dp_ns / max(counter, 1) / 1e6
+        results["all"]["data_parallel"] = dp_mesh.devices.size
+        progress(f"per-frame time (fused DP program): "
+                 f"{results['all']['frame_ms_per_frame']:.1f} ms over "
+                 f"{dp_mesh.devices.size} devices")
+    else:
+        results["all"]["net_ms_per_frame"] = net_ns / max(counter, 1) / 1e6
+        results["all"]["acc_ms_per_frame"] = acc_ns / max(counter, 1) / 1e6
+        progress(f"per-frame time: net "
+                 f"{results['all']['net_ms_per_frame']:.1f} ms, accumulator "
+                 f"{results['all']['acc_ms_per_frame']:.1f} ms")
     return results

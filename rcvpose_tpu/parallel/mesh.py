@@ -151,8 +151,9 @@ def sharded_frame_scores(mesh, apply_fn, variables, images_norm, depths_mm,
     data-parallel ``--mode test`` reproduces the sequential loop's ADD.
 
     ``apply_fn=None`` evaluates precomputed radial maps instead: pass
-    (B, 3, H, W) sem/radial stacks as ``images_norm`` via
-    ``maps=(sems, radials)`` in place of ``variables``/``images_norm``.
+    (B, 3, H, W) sem/radial stacks as ``maps=(sems, radials)`` in place of
+    ``variables``/``images_norm``. ``k`` is per-frame (B, 3, 3) — YCB
+    intrinsics come from each frame's .mat; LM/LMO tile one matrix.
     Batch size must be a multiple of the mesh size. Returns per-frame
     score_bf/score_af (mm), rts and overflow flags, sharded on the
     leading axis.
@@ -161,8 +162,8 @@ def sharded_frame_scores(mesh, apply_fn, variables, images_norm, depths_mm,
 
     bsh = batch_sharding(mesh)
     repl = replicated(mesh)
-    # per-class data (CAD cloud, intrinsics, clips, GT kpts, symmetry) are
-    # traced ARGUMENTS, not closure captures: captures bake into the HLO as
+    # per-class data (CAD cloud, clips, GT kpts, symmetry) are traced
+    # ARGUMENTS, not closure captures: captures bake into the HLO as
     # inline constants (remote-compile payload blowup) and force a fresh
     # compile per class even at equal shapes
     import jax.numpy as jnp
@@ -176,8 +177,8 @@ def sharded_frame_scores(mesh, apply_fn, variables, images_norm, depths_mm,
                                           rt_gt, sym, **kw)
 
         batched = jax.jit(
-            jax.vmap(one, in_axes=(0, 0, 0, 0) + (None,) * 5),
-            in_shardings=(bsh, bsh, bsh, bsh) + (repl,) * 5)
+            jax.vmap(one, in_axes=(0, 0, 0, 0, 0) + (None,) * 4),
+            in_shardings=(bsh,) * 5 + (repl,) * 4)
         return batched(sems, radials, depths_mm, rt_gts_mm, k, max_radii_dm,
                        gt_kpts_mm, cad_mm, sym)
 
@@ -186,8 +187,8 @@ def sharded_frame_scores(mesh, apply_fn, variables, images_norm, depths_mm,
                                           gk, cad, rt_gt, sym, **kw)
 
     batched = jax.jit(
-        jax.vmap(one, in_axes=(None, 0, 0, 0) + (None,) * 5),
-        in_shardings=(repl, bsh, bsh, bsh) + (repl,) * 5)
+        jax.vmap(one, in_axes=(None, 0, 0, 0, 0) + (None,) * 4),
+        in_shardings=(repl,) + (bsh,) * 4 + (repl,) * 4)
     return batched(variables, images_norm, depths_mm, rt_gts_mm, k,
                    max_radii_dm, gt_kpts_mm, cad_mm, sym)
 

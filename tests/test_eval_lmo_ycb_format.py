@@ -198,7 +198,7 @@ def test_estimate_6d_pose_ycb_real_format(tmp_path, rng):
     cfg = Config(root_dataset=str(root), using_ckpts=True, dataset="ycb",
                  compute_dtype="float32", vote_grid_l=96, max_points=2048,
                  vote_mode="hier", icp_iters=10, demo_mode=True,
-                 out_dir=str(root / "out"))
+                 out_dir=str(root / "out"), eval_data_parallel=False)
     lines = []
     results = eval_mod.estimate_6d_pose_ycb(
         cfg, class_ids=[class_id], progress=lines.append,
@@ -218,6 +218,22 @@ def test_estimate_6d_pose_ycb_real_format(tmp_path, rng):
     assert res["vote_topk"] == 64
     # demo overlays written by the YCB loop (reference :1121-1171)
     assert os.path.isfile(root / "out" / "demo_ycb" / class_name
+                          / f"{cycle}_{idx}_overlay.png")
+
+    # data-parallel sweep over the 8-virtual-device mesh: identical AUC
+    # and pass rates, per-frame intrinsics ride the sharded program
+    import dataclasses
+    cfg_dp = dataclasses.replace(cfg, eval_data_parallel=True,
+                                 out_dir=str(root / "out_dp"))
+    dp = eval_mod.estimate_6d_pose_ycb(
+        cfg_dp, class_ids=[class_id], progress=lambda *_: None,
+        map_source_factory=ExactMaps)["all"]
+    assert dp["frames"] == 1
+    assert dp["adds_auc_before_icp"] == res["adds_auc_before_icp"]
+    assert dp["adds_auc_after_icp"] == res["adds_auc_after_icp"]
+    assert dp["add_before_icp"] == res["add_before_icp"]
+    assert dp["data_parallel"] >= 2
+    assert os.path.isfile(root / "out_dp" / "demo_ycb" / class_name
                           / f"{cycle}_{idx}_overlay.png")
 
 
