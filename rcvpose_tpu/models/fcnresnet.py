@@ -151,6 +151,34 @@ def _mmconv2d_bwd(res, g):
 mmconv2d.defvjp(_mmconv2d_fwd, _mmconv2d_bwd)
 
 
+def _pallas_conv_mode(x_shape, ks, dout):
+    """Dispatch for the one-HBM-pass Pallas conv (ops/mmconv_pallas.py).
+
+    Returns 'off' | 'tpu' | 'interpret'. DEFAULT OFF: the kernel beats the
+    einsum chain standalone on wide-channel shapes (conv_up1 192->64 at
+    240x320: 2.8 vs 4.8 ms fwd at batch 4), but in-graph the custom-call
+    boundary forces relayout copies of megapixel buffers that cost more
+    than the win (train step 88.9 vs 83.3 ms; PERF.md "Training").
+    RCVPOSE_PALLAS_CONV=off|auto|on|interpret overrides ('auto' = the
+    standalone-win heuristic, 'on' = every supported shape, 'interpret'
+    forces the Pallas interpreter for CPU-backend tests)."""
+    import os
+
+    env = os.environ.get("RCVPOSE_PALLAS_CONV", "off")
+    if env == "off":
+        return "off"
+    from rcvpose_tpu.ops.mmconv_pallas import (pallas_applicable,
+                                               pallas_wins)
+
+    if not pallas_applicable(x_shape, ks, dout):
+        return "off"
+    if env == "interpret":
+        return "interpret"
+    if jax.default_backend() != "tpu":
+        return "off"
+    return "tpu" if pallas_wins(x_shape, ks, dout) else "off"
+
+
 class MMConv(nn.Module):
     """Conv expressed as shifted matmuls (einsum over channels).
 
@@ -189,6 +217,11 @@ class MMConv(nn.Module):
         # The bf16 rounding error is bounded by the test suite
         # (tests/test_model.py::test_mmconv_matches_nn_conv_f32_and_bf16)
         # and the end-to-end ADD proof trains/serves in bf16 (E2E.md).
+        mode = _pallas_conv_mode(x.shape, ks, self.features)
+        if mode != "off":
+            from rcvpose_tpu.ops.mmconv_pallas import mmconv2d_pallas
+            out = mmconv2d_pallas(x, kernel, mode == "interpret")
+            return out + bias.astype(self.dtype)
         return mmconv2d(x, kernel) + bias.astype(self.dtype)
 
 
@@ -226,9 +259,22 @@ def jax_resize2x(x):
 
     Hand-rolled from pad/slice/stack instead of ``jax.image.resize``: the
     gather-based resize lowering drags the decoder into W-major layouts on
-    TPU (measured 2.5 ms of relayout copies per conv7 at 480x640)."""
+    TPU (measured 2.5 ms of relayout copies per conv7 at 480x640).
+
+    RCVPOSE_PIN_RESIZE=pre|post reproduces the measured-NEGATIVE layout-pin
+    experiment (PERF.md "Round-3 attack"): forcing the default layout at
+    the upsample seams costs +17% train-step time — XLA's layout
+    excursions here are load-bearing. Keep unset for production."""
+    import os
+    if os.environ.get("RCVPOSE_PIN_RESIZE") == "pre":
+        from rcvpose_tpu.ops.layout import force_standard_layout
+        x = force_standard_layout(x)
     x = _up2x_axis(x, 1)
-    return _up2x_axis(x, 2)
+    x = _up2x_axis(x, 2)
+    if os.environ.get("RCVPOSE_PIN_RESIZE") == "post":
+        from rcvpose_tpu.ops.layout import force_standard_layout
+        x = force_standard_layout(x)
+    return x
 
 
 class _Encoder(nn.Module):

@@ -121,6 +121,17 @@ def main():
     for r in sorted(rows, key=lambda r: -r["us"])[:25]:
         print(f"  {r['us']/1e3/steps:8.4f} ms/step x{r['count']:5d}  "
               f"[{r['category']}] {r['name'][:110]}")
+    # The layout-copy bucket, named: the PERF.md round-3 attribution
+    # (input->stem-conv retiling, 5-D upsample stack relayouts, H-minor
+    # flip-flops around the full-res conv chains, f32 BN-backward
+    # re-blocking) comes from reading these shapes/layouts.
+    fmt = [r for r in rows if r["category"] == "data formatting"]
+    fmt_total = sum(r["us"] for r in fmt)
+    print(f"-- top 15 'data formatting' (layout copies): "
+          f"{fmt_total/1e3/steps:.2f} ms/step over {len(fmt)} ops --")
+    for r in sorted(fmt, key=lambda r: -r["us"])[:15]:
+        print(f"  {r['us']/1e3/steps:8.4f} ms/step x{r['count']:5d}  "
+              f"{r['name'][:150]}")
 
 
 if __name__ == "__main__":
