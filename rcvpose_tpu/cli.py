@@ -102,6 +102,11 @@ def build_parser():
                         help="multi-host: jax.distributed.initialize() "
                              "before mesh construction (no-op on one host)")
     parser.add_argument("--seed", type=int, default=defaults.seed)
+    parser.add_argument("--profile_dir", default=defaults.profile_dir,
+                        help="capture a jax.profiler trace of the train/"
+                             "test run into this directory (TensorBoard/"
+                             "Perfetto-viewable; the reference plumbed "
+                             "timers but never reported them)")
     parser.add_argument("--export_path", default=defaults.export_path,
                         help="export-torch: output .pth.tar path (default "
                              "<model_dir>/exported.pth.tar)")
@@ -310,6 +315,15 @@ def run_export_torch(cfg):
 
 def main(argv=None):
     cfg = config_from_args(argv)
+    if cfg.profile_dir and cfg.mode in ("train", "test"):
+        from rcvpose_tpu import profiling
+
+        with profiling.trace(cfg.profile_dir):
+            return main_dispatch(cfg)
+    return main_dispatch(cfg)
+
+
+def main_dispatch(cfg):
     if cfg.mode == "train":
         run_train(cfg)
     elif cfg.mode == "test":

@@ -90,6 +90,9 @@ class Config:
     out_dir: str = "logs"
     model_dir: str = "ckpts"
     seed: int = 0
+    profile_dir: str = ""             # capture a jax.profiler trace of the
+    #   train/test run into this dir ("" = off); view in TensorBoard or
+    #   parse with scripts/prof_train_trace.py::report
     num_prefetch: int = 2             # host->device prefetch depth
     mesh_data_axis: Optional[int] = None  # None = all local devices
 

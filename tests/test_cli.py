@@ -144,3 +144,27 @@ def test_run_gen_labels_accepts_both_roots(tmp_path):
     files = sorted(os.listdir(out))
     assert files == ["000000.npy", "000001.npy", "000002.npy"]
     assert np.load(os.path.join(out, files[0])).shape == (48, 64)
+
+
+def test_main_profile_dir_captures_trace(tmp_path, monkeypatch):
+    """--profile_dir wraps the run in a jax.profiler trace (SURVEY.md §5:
+    the reference accumulated net/acc timers but never reported them and
+    shipped torch-tb-profiler unimported). The dispatch is stubbed so only
+    the trace plumbing runs; the xplane artifact must exist afterwards."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    def fake_test(cfg):
+        # one real device op so the trace has content
+        float(jnp.sum(jnp.ones((4, 4))))
+        return {"ape": {"frames": 0}}
+
+    monkeypatch.setattr(cli, "run_test", fake_test)
+    prof = str(tmp_path / "prof")
+    cli.main(["--mode", "test", "--out_dir", str(tmp_path / "logs"),
+              "--profile_dir", prof])
+    assert glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
+                     recursive=True), "no xplane trace written"
+    del jax
