@@ -62,17 +62,33 @@ def main():
     state2, acc = run(state, batch_d)
     float(acc)
     print(f"compile+first: {time.time() - t0:.1f} s", file=sys.stderr)
+    # XLA's FLOP count for ONE train step (fwd+bwd+optimizer), from the
+    # pre-compile lowering — .compile() here would bypass the persistent
+    # cache and recompile for minutes; the lowered cost_analysis is HLO
+    # arithmetic and instant. MFU is against the v5e bf16 MXU peak.
+    try:
+        ca = jax.jit(train_mod.train_step).lower(
+            state, batch_d).cost_analysis() or {}
+        flops_per_step = float(ca.get("flops", 0.0))
+    except Exception:
+        flops_per_step = 0.0
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         _, acc = run(state, batch_d)
         float(acc)
         best = min(best, (time.perf_counter() - t0) / reps)
+    peak = 197e12  # v5e bf16 MXU peak FLOP/s
+    mfu = (flops_per_step / best / peak
+           if flops_per_step and jax.default_backend() == "tpu" else None)
     import json
     print(json.dumps({
         "metric": "train_step_ms", "value": round(best * 1e3, 2),
         "imgs_per_sec": round(batch / best, 2), "batch": batch,
         "resolution": [h, w], "remat": remat,
+        "tflops_per_step": (round(flops_per_step / 1e12, 2)
+                            if flops_per_step else None),
+        "mfu_vs_bf16_peak": round(mfu, 3) if mfu else None,
         "backend": jax.default_backend(),
         "model": "DenseFCNResNet152 (full, bf16 compute, f32 params)"}))
 
