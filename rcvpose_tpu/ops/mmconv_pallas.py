@@ -179,11 +179,13 @@ def _pick_tile(h, w, cin, dout, ks, itemsize):
 
 def pallas_applicable(x_shape, ks, dout):
     """Whether conv_same_pallas supports this (shape, kernel): K odd >= 3
-    and a VMEM-feasible row tile exists for the image height."""
+    and a VMEM-feasible row tile exists for the image height. Sized at
+    float32 width so the gate never admits a shape the f32 path would
+    then fail to tile."""
     if ks % 2 == 0 or ks < 3:
         return False
     _, h, w, c = x_shape
-    return _pick_tile(h, w, c, dout, ks, 2) is not None
+    return _pick_tile(h, w, c, dout, ks, 4) is not None
 
 
 def pallas_wins(x_shape, ks, dout):
