@@ -66,10 +66,17 @@ def main():
     # pre-compile lowering — .compile() here would bypass the persistent
     # cache and recompile for minutes; the lowered cost_analysis is HLO
     # arithmetic and instant. MFU is against the v5e bf16 MXU peak.
+    # jnp.shape/result_type: the state pytree carries scalar leaves (step)
+    sds = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        (state, batch_d))
+
+    def _flops():
+        lw = jax.jit(train_mod.train_step).lower(*sds)
+        return float((lw.cost_analysis() or {}).get("flops", 0.0))
+
     try:
-        ca = jax.jit(train_mod.train_step).lower(
-            state, batch_d).cost_analysis() or {}
-        flops_per_step = float(ca.get("flops", 0.0))
+        flops_per_step = _flops()
     except Exception:
         flops_per_step = 0.0
     best = float("inf")
@@ -78,9 +85,21 @@ def main():
         _, acc = run(state, batch_d)
         float(acc)
         best = min(best, (time.perf_counter() - t0) / reps)
+    backend = jax.default_backend()
+    if not flops_per_step:
+        # The axon remote-compile backend exposes no cost model from a bare
+        # lowering; re-lower for the CPU client (FLOPs are backend-
+        # independent HLO arithmetic). Done AFTER timing: switching
+        # platforms tears down the TPU backend for this process.
+        try:
+            jax.extend.backend.clear_backends()
+            jax.config.update("jax_platforms", "cpu")
+            flops_per_step = _flops()
+        except Exception:
+            flops_per_step = 0.0
     peak = 197e12  # v5e bf16 MXU peak FLOP/s
     mfu = (flops_per_step / best / peak
-           if flops_per_step and jax.default_backend() == "tpu" else None)
+           if flops_per_step and backend == "tpu" else None)
     import json
     print(json.dumps({
         "metric": "train_step_ms", "value": round(best * 1e3, 2),
@@ -89,7 +108,7 @@ def main():
         "tflops_per_step": (round(flops_per_step / 1e12, 2)
                             if flops_per_step else None),
         "mfu_vs_bf16_peak": round(mfu, 3) if mfu else None,
-        "backend": jax.default_backend(),
+        "backend": backend,
         "model": "DenseFCNResNet152 (full, bf16 compute, f32 params)"}))
 
 
