@@ -88,10 +88,12 @@ def generate_ycb(root, class_name, class_id, kpt_indices=range(1, 4),
     ``BatchLoader`` ``ycb_clip``).
 
     ``write_split=True`` additionally records the generated frame ids in
-    ``<root>/<class>/Split/val.txt`` (the split file ``YcbDataset`` and
-    ``make_loaders`` read) when no split file exists yet, so
-    ``--mode gen-labels --dname ycb`` -> ``--mode train --dname ycb`` works
-    with no manual step. An existing split file is never touched.
+    ``<root>/<class>/Split/val.txt`` (read by ``YcbDataset`` /
+    ``make_loaders``, reference rmap_dataset.py:64) AND
+    ``<root>/Split/<class>/val.txt`` (read by the YCB evaluator, reference
+    AccumulatorSpace.py:986) when missing, so ``--mode gen-labels``
+    -> ``--mode train`` -> ``--mode test`` works with no manual step.
+    Existing split files are never touched.
     """
     import h5py
     import scipy.io
@@ -152,9 +154,16 @@ def generate_ycb(root, class_name, class_id, kpt_indices=range(1, 4),
                 progress(f"{class_name} {frame_id}")
 
     if write_split and frame_ids:
-        split_path = os.path.join(root, class_name, "Split", "val.txt")
-        if not os.path.exists(split_path):
-            os.makedirs(os.path.dirname(split_path), exist_ok=True)
-            with open(split_path, "w") as f:
-                f.write("\n".join(frame_ids) + "\n")
+        # The reference reads TWO split layouts: the YCB dataset opens
+        # <root>/<class>/Split/val.txt (rmap_dataset.py:64) while the YCB
+        # evaluator opens <root>/Split/<class>/val.txt
+        # (AccumulatorSpace.py:986) — write both so gen-labels feeds
+        # --mode train AND --mode test without a manual copy.
+        for split_path in (
+                os.path.join(root, class_name, "Split", "val.txt"),
+                os.path.join(root, "Split", class_name, "val.txt")):
+            if not os.path.exists(split_path):
+                os.makedirs(os.path.dirname(split_path), exist_ok=True)
+                with open(split_path, "w") as f:
+                    f.write("\n".join(frame_ids) + "\n")
     return frame_ids

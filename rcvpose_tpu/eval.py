@@ -394,14 +394,60 @@ def _dp_mesh_or_none(cfg):
     """The device mesh for data-parallel ``--mode test``, or None for the
     sequential loop. Auto (``eval_data_parallel=None``): on when this
     process sees more than one device. Multi-process runs stay sequential
-    (frame IO is process-local here)."""
+    (frame IO is process-local here). An EXPLICIT ``--eval_data_parallel``
+    that cannot be honored raises instead of silently falling back — the
+    caller asked for the DP program and may read its DP-only result keys."""
     dp = getattr(cfg, "eval_data_parallel", None)
-    if jax.process_count() > 1 or dp is False:
+    if dp is False:
+        return None
+    if jax.process_count() > 1:
+        if dp is True:
+            raise ValueError(
+                "--eval_data_parallel is single-process only (frame IO is "
+                "process-local); run without --distributed or drop the flag")
         return None
     if jax.device_count() < 2:
+        if dp is True:
+            raise ValueError(
+                "--eval_data_parallel requested but only "
+                f"{jax.device_count()} device is visible")
         return None
     from rcvpose_tpu import parallel
     return parallel.data_mesh(jax.device_count())
+
+
+def _prefetched_chunks(items, chunk_size, load_one):
+    """Yield ``(n_real, padded_chunk, loaded)`` mesh-sized chunks with the
+    NEXT chunk's host file IO running in a background thread while the
+    caller dispatches the current one to the device mesh — without this
+    every chunk serializes PNG/.dpt decodes against the devices
+    (the single-producer pattern of ``BatchLoader.batches``). The last
+    chunk is padded by repeating its final item."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=1)
+
+    def produce():
+        try:
+            for c0 in range(0, len(items), chunk_size):
+                chunk = items[c0:c0 + chunk_size]
+                padded = chunk + [chunk[-1]] * (chunk_size - len(chunk))
+                loaded = [load_one(it) for it in padded]
+                q.put((len(chunk), padded, loaded))
+        except BaseException as exc:  # surfaced in the consumer
+            q.put(exc)
+        else:
+            q.put(None)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        got = q.get()
+        if got is None:
+            return
+        if isinstance(got, BaseException):
+            raise got
+        yield got
 
 
 def _vote_kw(cfg):
@@ -449,13 +495,11 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
     mr_j = jnp.asarray(max_radii, jnp.float32)
     ks = jnp.tile(jnp.asarray(k, jnp.float32)[None], (B, 1, 1))
 
-    bf_icp = af_icp = counter = 0
+    bf_icp = af_icp = counter = overflow_count = 0
     frame_ns = 0
-    for c0 in range(0, len(frames), B):
-        chunk = frames[c0:c0 + B]
-        n_real = len(chunk)
-        pad = [chunk[-1]] * (B - n_real)
-        loaded = [ld() for _, ld in chunk + pad]
+    for n_real, padded, loaded in _prefetched_chunks(
+            frames, B, lambda it: it[1]()):
+        chunk = padded[:n_real]
         images = [im for im, _, _ in loaded]
         depths = np.stack([d for _, d, _ in loaded])
         rt_gts = np.stack([p for _, _, p in loaded])
@@ -472,7 +516,7 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
                 sym, **kw)
         else:
             sems, radials = [], []
-            for (frame_id, _), (image, _, _) in zip(chunk + pad, loaded):
+            for (frame_id, _), (image, _, _) in zip(padded, loaded):
                 s3, r3 = [], []
                 for kp in range(1, 4):
                     s, r = source.maps(kp, image, frame_id, lmo=lmo)
@@ -498,11 +542,16 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
                 image, depth, rt_gt = loaded[i]
                 rt_gt_mm = rt_gt.copy()
                 rt_gt_mm[:, 3] *= 1000.0
+                # the sequential grid-retry re-run is part of this frame's
+                # cost — keep it inside the reported per-frame time
+                t1 = time.perf_counter_ns()
                 rt_i, sbf_i, saf_i = _frame_eval_seq(
                     cfg, source, image, frame_id,
                     jnp.asarray(depth), k, max_radii, sem_threshold,
                     gt_kpts_mm, cad_j, rt_gt_mm, sym, lmo=lmo,
                     icp_iters=icp_iters)
+                frame_ns += time.perf_counter_ns() - t1
+                overflow_count += 1
                 rt_i = np.asarray(rt_i)
             bf_icp += sbf_i <= threshold_mm
             af_icp += saf_i <= threshold_mm
@@ -523,6 +572,7 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
         "add_after_icp": af_icp / max(counter, 1),
         "frames": counter,
         "frame_ms_per_frame": frame_ns / max(counter, 1) / 1e6,
+        "overflow_frames": overflow_count,
         "vote_topk": cfg.vote_topk,
         "data_parallel": B,
     }
@@ -834,11 +884,9 @@ def _eval_ycb_frames_dp(cfg, mesh, source, metas, max_radii, gt_kpts_mm,
     mr_j = jnp.asarray(max_radii, jnp.float32)
 
     rows, ns = [], 0
-    for c0 in range(0, len(metas), B):
-        chunk = metas[c0:c0 + B]
-        n_real = len(chunk)
-        padded = chunk + [chunk[-1]] * (B - n_real)
-        loaded = [ld() for _, _, _, ld in padded]
+    for n_real, padded, loaded in _prefetched_chunks(
+            metas, B, lambda it: it[3]()):
+        chunk = padded[:n_real]
         depths = np.stack([d for _, d in loaded])
         ks = np.stack([m[2] for m in padded]).astype(np.float32)
         rt_gts_mm = np.stack([m[1] for m in padded]).astype(np.float32)

@@ -397,7 +397,10 @@ class PoseEstimator:
                     for i in range(base.shape[0])]
             if key in ("scene_pts", "scene_mask"):
                 rows = [pad_pts(r) for r in rows]
-            out[key] = np.stack(rows)
+            # device arrays like the no-escalation return: the result type
+            # must not depend on whether a frame tripped escalation (one
+            # H2D on this rare path instead of surprise host numpy leaves)
+            out[key] = jnp.asarray(np.stack(rows))
         return out
 
     def refine(self, result, threshold_mm, icp_iters=None):

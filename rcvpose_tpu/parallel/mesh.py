@@ -138,6 +138,16 @@ def _is_fused(variables):
     return not isinstance(variables, (tuple, list))
 
 
+# One jitted DP-eval program per (mesh, net module, vote knobs, branch):
+# the eval loops call sharded_frame_scores once per mesh-sized CHUNK, and
+# a fresh closure + jax.jit per chunk would re-trace (and, cache-cold,
+# re-compile) the whole net->vote->ICP program every few frames. Keyed on
+# the apply_fn's owning module (flax modules hash by value), equal-config
+# nets share one program across classes too — the same no-per-class-
+# recompile property the traced-arguments design below gives the HLO.
+_FRAME_SCORES_PROGRAMS = {}
+
+
 def sharded_frame_scores(mesh, apply_fn, variables, images_norm, depths_mm,
                          rt_gts_mm, k, max_radii_dm, gt_kpts_mm, cad_mm, sym,
                          **kw):
@@ -169,26 +179,39 @@ def sharded_frame_scores(mesh, apply_fn, variables, images_norm, depths_mm,
     import jax.numpy as jnp
     sym = jnp.asarray(sym, bool)
 
+    kw_key = tuple(sorted(kw.items()))
     if apply_fn is None:
         sems, radials = variables  # (B, 3, H, W) precomputed maps
+        key = (mesh, None, kw_key)
+        batched = _FRAME_SCORES_PROGRAMS.get(key)
+        if batched is None:
+            def one(sem, rad, dep, rt_gt, k, mr, gk, cad, sym):
+                return eval_mod._frame_scores(sem, rad, dep, k, mr, gk, cad,
+                                              rt_gt, sym, **kw)
 
-        def one(sem, rad, dep, rt_gt, k, mr, gk, cad, sym):
-            return eval_mod._frame_scores(sem, rad, dep, k, mr, gk, cad,
-                                          rt_gt, sym, **kw)
-
-        batched = jax.jit(
-            jax.vmap(one, in_axes=(0, 0, 0, 0, 0) + (None,) * 4),
-            in_shardings=(bsh,) * 5 + (repl,) * 4)
+            batched = jax.jit(
+                jax.vmap(one, in_axes=(0, 0, 0, 0, 0) + (None,) * 4),
+                in_shardings=(bsh,) * 5 + (repl,) * 4)
+            _FRAME_SCORES_PROGRAMS[key] = batched
         return batched(sems, radials, depths_mm, rt_gts_mm, k, max_radii_dm,
                        gt_kpts_mm, cad_mm, sym)
 
-    def one(vars_, img, dep, rt_gt, k, mr, gk, cad, sym):
-        return eval_mod._frame_scores_net(apply_fn, vars_, img, dep, k, mr,
-                                          gk, cad, rt_gt, sym, **kw)
+    owner = getattr(apply_fn, "__self__", apply_fn)
+    key = (mesh, owner, kw_key)
+    try:
+        batched = _FRAME_SCORES_PROGRAMS.get(key)
+    except TypeError:   # module with unhashable fields (list-valued blocks)
+        key = (mesh, id(owner), kw_key)
+        batched = _FRAME_SCORES_PROGRAMS.get(key)
+    if batched is None:
+        def one(vars_, img, dep, rt_gt, k, mr, gk, cad, sym):
+            return eval_mod._frame_scores_net(apply_fn, vars_, img, dep, k,
+                                              mr, gk, cad, rt_gt, sym, **kw)
 
-    batched = jax.jit(
-        jax.vmap(one, in_axes=(None, 0, 0, 0, 0) + (None,) * 4),
-        in_shardings=(repl,) + (bsh,) * 4 + (repl,) * 4)
+        batched = jax.jit(
+            jax.vmap(one, in_axes=(None, 0, 0, 0, 0) + (None,) * 4),
+            in_shardings=(repl,) + (bsh,) * 4 + (repl,) * 4)
+        _FRAME_SCORES_PROGRAMS[key] = batched
     return batched(variables, images_norm, depths_mm, rt_gts_mm, k,
                    max_radii_dm, gt_kpts_mm, cad_mm, sym)
 

@@ -216,8 +216,13 @@ class Trainer:
                 if self.steps_per_epoch else 0)
         import inspect
         try:
-            takes_start = len(
-                inspect.signature(self.train_batches).parameters) >= 2
+            # Opt in BY NAME: a factory takes the index-level skip only if
+            # its second parameter is literally called start_batch (merely
+            # counting parameters would misroute e.g. a default-arg
+            # closure's loader into the skip slot).
+            params = list(
+                inspect.signature(self.train_batches).parameters)
+            takes_start = len(params) >= 2 and params[1] == "start_batch"
         except (TypeError, ValueError):
             takes_start = False
         if takes_start:

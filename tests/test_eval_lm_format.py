@@ -188,8 +188,38 @@ def test_lm_eval_data_parallel_matches_sequential(lm_eval_tree, tmp_path):
     assert dp["add_after_icp"] == seq["add_after_icp"]
     assert dp["data_parallel"] == jax.device_count()
     assert dp["frame_ms_per_frame"] > 0
+    assert dp["overflow_frames"] == 0
     assert any("fused DP program" in ln for ln in lines)
+    # the jitted DP program is built once and REUSED across chunks/calls —
+    # a fresh jit per chunk would re-trace the whole net->vote->ICP
+    # program every mesh-sized group of frames
+    from rcvpose_tpu.parallel import mesh as mesh_mod
+    n_programs = len(mesh_mod._FRAME_SCORES_PROGRAMS)
+    dp2 = eval_mod.estimate_6d_pose_lm(cfg_dp, class_names=["ape"],
+                                       progress=lambda *_: None)["ape"]
+    assert dp2["add_after_icp"] == dp["add_after_icp"]
+    assert len(mesh_mod._FRAME_SCORES_PROGRAMS) == n_programs
     # demo overlays written from the DP path too
     assert sorted(os.listdir(os.path.join(str(tmp_path / "dp"), "demo",
                                           "ape"))) == [
         "000000_overlay.png", "000001_overlay.png"]
+
+
+def test_forced_eval_data_parallel_raises_when_unhonorable(monkeypatch):
+    """An EXPLICIT --eval_data_parallel that cannot run (one device, or
+    multi-process) raises instead of silently falling back to the
+    sequential loop whose results lack the DP-only keys."""
+    import pytest
+
+    from rcvpose_tpu import eval as eval_mod
+
+    cfg = Config(eval_data_parallel=True)
+    monkeypatch.setattr(eval_mod.jax, "device_count", lambda: 1)
+    with pytest.raises(ValueError, match="only 1 device"):
+        eval_mod._dp_mesh_or_none(cfg)
+    monkeypatch.setattr(eval_mod.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="single-process"):
+        eval_mod._dp_mesh_or_none(cfg)
+    # auto mode stays a quiet fallback
+    assert eval_mod._dp_mesh_or_none(
+        Config(eval_data_parallel=None)) is None

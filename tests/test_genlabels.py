@@ -155,10 +155,15 @@ def test_generate_ycb_round_trip_to_train_step(tmp_path, rng):
                                        KPTS9[1], k, np.inf)
         np.testing.assert_allclose(got, lbl, atol=2e-3)
 
-    # split convenience file: written once, never clobbered
+    # split convenience files: BOTH reference layouts (the dataset reads
+    # <root>/<class>/Split, the YCB evaluator <root>/Split/<class> —
+    # rmap_dataset.py:64 vs AccumulatorSpace.py:986); written once,
+    # never clobbered
     split = os.path.join(root, YCB_CLASS, "Split", "val.txt")
-    with open(split) as f:
-        assert [ln.strip() for ln in f] == ids
+    eval_split = os.path.join(root, "Split", YCB_CLASS, "val.txt")
+    for path in (split, eval_split):
+        with open(path) as f:
+            assert [ln.strip() for ln in f] == ids
     with open(split, "w") as f:
         f.write(ids[0] + "\n")
     genlabels.generate_ycb(root, YCB_CLASS, YCB_ID,
