@@ -450,6 +450,39 @@ def _prefetched_chunks(items, chunk_size, load_one):
         yield got
 
 
+def _dp_chunk_scores(mesh, source, apply_fn, variables, images, frame_ids,
+                     depths, rt_gts_mm, ks, mr_j, gt_j, cad_j, sym, kw,
+                     lmo=None):
+    """One mesh-sized chunk through the fused DP eval program — the
+    net-vs-precomputed dispatch shared by the LM/LMO and YCB sweeps.
+    ``apply_fn`` set: normalize + forward on device; None: stack
+    ``source.maps`` per keypoint (``lmo`` forwarded when not None — the
+    YCB source has no lmo argument). Blocks until results are ready."""
+    from rcvpose_tpu import labels as labels_mod
+    from rcvpose_tpu import parallel
+
+    if apply_fn is not None:
+        imgs_norm = jax.vmap(labels_mod.normalize_image)(
+            jnp.asarray(np.stack(images)))
+        scores = parallel.sharded_frame_scores(
+            mesh, apply_fn, variables, imgs_norm, jnp.asarray(depths),
+            jnp.asarray(rt_gts_mm, jnp.float32), jnp.asarray(ks), mr_j,
+            gt_j, cad_j, sym, **kw)
+    else:
+        maps_kw = {} if lmo is None else {"lmo": lmo}
+        sems, radials = [], []
+        for frame_id, image in zip(frame_ids, images):
+            pairs = [source.maps(kp, image, frame_id, **maps_kw)
+                     for kp in range(1, 4)]
+            sems.append(jnp.stack([s for s, _ in pairs]))
+            radials.append(jnp.stack([r for _, r in pairs]))
+        scores = parallel.sharded_frame_scores(
+            mesh, None, (jnp.stack(sems), jnp.stack(radials)), None,
+            jnp.asarray(depths), jnp.asarray(rt_gts_mm, jnp.float32),
+            jnp.asarray(ks), mr_j, gt_j, cad_j, sym, **kw)
+    return jax.block_until_ready(scores)
+
+
 def _vote_kw(cfg):
     return dict(sem_threshold=cfg.sem_threshold, n_points=cfg.max_points,
                 grid_l=cfg.vote_grid_l, mode=cfg.vote_mode,
@@ -476,8 +509,6 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
     dict (timers fused: the whole program is one dispatch, so net/acc are
     reported together as ``frame_ms_per_frame``).
     ``demo_ctx``: (out_dir, cad_mm, name_fn) to paint overlays."""
-    from rcvpose_tpu import labels as labels_mod
-    from rcvpose_tpu import parallel
     from rcvpose_tpu import train as train_mod
 
     B = mesh.devices.size
@@ -507,28 +538,10 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
         rt_gts_mm[:, :, 3] *= 1000.0
 
         t0 = time.perf_counter_ns()
-        if cfg.using_ckpts:
-            imgs_norm = jax.vmap(labels_mod.normalize_image)(
-                jnp.asarray(np.stack(images)))
-            scores = parallel.sharded_frame_scores(
-                mesh, apply_fn, variables, imgs_norm, jnp.asarray(depths),
-                jnp.asarray(rt_gts_mm, jnp.float32), ks, mr_j, gt_j, cad_j,
-                sym, **kw)
-        else:
-            sems, radials = [], []
-            for (frame_id, _), (image, _, _) in zip(padded, loaded):
-                s3, r3 = [], []
-                for kp in range(1, 4):
-                    s, r = source.maps(kp, image, frame_id, lmo=lmo)
-                    s3.append(s)
-                    r3.append(r)
-                sems.append(jnp.stack(s3))
-                radials.append(jnp.stack(r3))
-            scores = parallel.sharded_frame_scores(
-                mesh, None, (jnp.stack(sems), jnp.stack(radials)), None,
-                jnp.asarray(depths), jnp.asarray(rt_gts_mm, jnp.float32),
-                ks, mr_j, gt_j, cad_j, sym, **kw)
-        scores = jax.block_until_ready(scores)
+        scores = _dp_chunk_scores(
+            mesh, source, apply_fn, variables, images,
+            [fid for fid, _ in padded], depths, rt_gts_mm, ks, mr_j, gt_j,
+            cad_j, sym, kw, lmo=lmo)
         frame_ns += time.perf_counter_ns() - t0
 
         sbf = np.asarray(scores["score_bf"])
@@ -868,8 +881,6 @@ def _eval_ycb_frames_dp(cfg, mesh, source, metas, max_radii, gt_kpts_mm,
     (rows, ns): rows = [(filename, image, rt_gt_mm, k, rt, sbf, saf)] in
     input order.
     """
-    from rcvpose_tpu import labels as labels_mod
-    from rcvpose_tpu import parallel
     from rcvpose_tpu import train as train_mod
 
     B = mesh.devices.size
@@ -893,28 +904,10 @@ def _eval_ycb_frames_dp(cfg, mesh, source, metas, max_radii, gt_kpts_mm,
         rt_gts_mm[:, :, 3] *= 1000.0
 
         t0 = time.perf_counter_ns()
-        if use_net:
-            imgs_norm = jax.vmap(labels_mod.normalize_image)(
-                jnp.asarray(np.stack([im for im, _ in loaded])))
-            scores = parallel.sharded_frame_scores(
-                mesh, apply_fn, variables, imgs_norm, jnp.asarray(depths),
-                jnp.asarray(rt_gts_mm), jnp.asarray(ks), mr_j, gt_j, cad_j,
-                sym, **kw)
-        else:
-            sems, radials = [], []
-            for (filename, _, _, _), (image, _) in zip(padded, loaded):
-                s3, r3 = [], []
-                for kp in range(1, 4):
-                    s, r = source.maps(kp, image, filename)
-                    s3.append(s)
-                    r3.append(r)
-                sems.append(jnp.stack(s3))
-                radials.append(jnp.stack(r3))
-            scores = parallel.sharded_frame_scores(
-                mesh, None, (jnp.stack(sems), jnp.stack(radials)), None,
-                jnp.asarray(depths), jnp.asarray(rt_gts_mm),
-                jnp.asarray(ks), mr_j, gt_j, cad_j, sym, **kw)
-        scores = jax.block_until_ready(scores)
+        scores = _dp_chunk_scores(
+            mesh, source, apply_fn if use_net else None, variables,
+            [im for im, _ in loaded], [m[0] for m in padded], depths,
+            rt_gts_mm, ks, mr_j, gt_j, cad_j, sym, kw)
         ns += time.perf_counter_ns() - t0
 
         sbf = np.asarray(scores["score_bf"])
