@@ -77,6 +77,15 @@ def build_parser():
     parser.add_argument("--serve_host", default=defaults.serve_host)
     parser.add_argument("--serve_port", type=int,
                         default=defaults.serve_port)
+    parser.add_argument("--serve_classes", default=defaults.serve_classes,
+                        help="comma list of extra classes to build + "
+                             "compile before the serve socket opens "
+                             "(cold-class warmup)")
+    parser.add_argument("--val_interval_epochs", type=int,
+                        default=defaults.val_interval_epochs,
+                        help="validate + checkpoint every N epochs "
+                             "(1 = reference behavior; the final epoch "
+                             "always validates)")
     parser.add_argument("--using_ckpts", action="store_true", default=True)
     parser.add_argument("--no_ckpts", dest="using_ckpts",
                         action="store_false",
@@ -93,6 +102,9 @@ def build_parser():
                         action="store_false",
                         help="force the sequential per-frame eval loop")
     parser.add_argument("--demo_mode", action="store_true")
+    parser.add_argument("--demo_scene_ply", action="store_true",
+                        help="demo mode also writes each frame's colored "
+                             "scene cloud as <frame>_scene.ply")
     parser.add_argument("--test_occ", action="store_true")
     parser.add_argument("--fake_depth", action="store_true",
                         help="gen-labels: meter-valued FakeDepth/ maps for "

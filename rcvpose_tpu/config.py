@@ -33,7 +33,9 @@ class Config:
     lr_decay_epochs: int = 70         # lr /= 10 every N epochs
     lr_decay_factor: float = 0.1
     resume_train: bool = False
-    val_interval_epochs: int = 1      # validate every epoch (reference)
+    val_interval_epochs: int = 1      # validate (and checkpoint) every N
+    #   epochs; 1 = the reference's behavior (train.py:183). The final
+    #   epoch always validates so a run never ends without a checkpoint.
     # --- model ---
     model: str = "dense"              # dense | res
     model_blocks: str = ""            # "" = ResNet-152 (3,8,36,3); e.g.
@@ -56,6 +58,10 @@ class Config:
     # --- serving daemon (--mode serve) ---
     serve_host: str = "127.0.0.1"
     serve_port: int = 5555
+    serve_classes: str = ""           # comma list: extra classes to build +
+    #   compile BEFORE the socket opens (cold-class warmup; lazily-loaded
+    #   classes otherwise pay their build on first request, off the
+    #   execution lock)
     # --- accumulator ---
     vote_grid_l: int = 192
     vote_mode: str = "hier"           # hier | exact | surface
@@ -79,6 +85,10 @@ class Config:
     #   whole program on device). None = auto (on when >1 device,
     #   single-process); False forces the sequential per-frame loop
     demo_mode: bool = False
+    demo_scene_ply: bool = False      # demo mode also dumps each frame's
+    #   colored scene cloud as <frame>_scene.ply (the reference's unused
+    #   rgbd_to_color_point_cloud, AccumulatorSpace.py:87-98, made useful:
+    #   eval failures become inspectable in any point-cloud viewer)
     test_occ: bool = False
     fake_depth: bool = False          # gen-labels: write meter-valued
     #   FakeDepth/ maps (reference depthGeneration, 3DRadius_lm.py:14)

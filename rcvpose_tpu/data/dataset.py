@@ -35,6 +35,11 @@ class LinemodDataset:
         self._depth = os.path.join(base, "data", "depth%s.dpt")
         self._mask = os.path.join(base, "mask", "%s.png")
         self._pose = os.path.join(base, "pose", "pose%s.npy")
+        # original-format LINEMOD trees carry rot/tra text GT instead of
+        # pose*.npy (the reference's debug-only linemod_pose reader,
+        # 3DRadius_lm.py:59-74) — _load_pose falls back per frame
+        self._rot = os.path.join(base, "data", "rot%s.rot")
+        self._tra = os.path.join(base, "data", "tra%s.tra")
         split_path = os.path.join(base, "Split", f"{split}.txt")
         with open(split_path) as f:
             self.ids = [line.strip() for line in f if line.strip()]
@@ -60,6 +65,20 @@ class LinemodDataset:
     def __len__(self):
         return len(self.ids)
 
+    def _load_pose(self, n):
+        """GT pose (3, 4), translation in meters: ``pose<N>.npy`` when
+        present, else the original-format ``rot<N>.rot``/``tra<N>.tra``
+        pair (reference 3DRadius_lm.py:59-74; cm converted to m)."""
+        npy = self._pose % n
+        if os.path.isfile(npy):
+            return np.load(npy)
+        rot, tra = self._rot % n, self._tra % n
+        if os.path.isfile(rot) and os.path.isfile(tra):
+            return readers.read_rot_tra_pose(rot, tra)
+        raise FileNotFoundError(
+            f"no GT pose for frame {n}: neither {npy} nor the "
+            f"original-format pair {rot} / {tra} exists")
+
     def raw(self, index):
         """Raw per-frame arrays; label generation happens on device
         (rcvpose_tpu.labels.make_sample)."""
@@ -69,7 +88,7 @@ class LinemodDataset:
             "image": readers.read_image(self._img % img_id),
             "depth": readers.read_depth(self._depth % n),
             "mask": readers.read_mask(self._mask % n.zfill(4)),
-            "pose": np.load(self._pose % n),
+            "pose": self._load_pose(n),
             "img_id": img_id,
         }
 
@@ -87,7 +106,7 @@ class LinemodDataset:
                 "image": readers.read_image(self._img % img_id),
                 "depth": depth,
                 "mask": readers.read_mask(self._mask % n.zfill(4)),
-                "pose": np.load(self._pose % n),
+                "pose": self._load_pose(n),
                 "img_id": img_id,
             })
         return out

@@ -45,8 +45,10 @@ class BatchLoader:
         the fused multi-head model (config ``kpt_heads``).
 
         ``shard_rank/shard_count``: multi-host data sharding. Every process
-        draws the SAME per-epoch permutation (identical ``seed`` + stateful
-        rng), then takes the disjoint ``rank::count`` slice, trimmed to a
+        derives the SAME per-epoch permutation purely from ``(seed, epoch)``
+        (``_index_order`` — stateless, which is what the index-level
+        mid-epoch resume relies on), then takes the disjoint
+        ``rank::count`` slice, trimmed to a
         common length so every process yields the same number of batches
         (processes must dispatch the same collectives). Without this, all
         hosts of a multi-host run would feed identical frames and the

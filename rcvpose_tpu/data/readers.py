@@ -32,6 +32,29 @@ def read_image(path):
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def read_rot_tra_pose(rot_path, tra_path):
+    """(3, 4) pose from the original LINEMOD ``rot*.rot`` / ``tra*.tra``
+    text files, translation converted to METERS.
+
+    The original-format files are one header line followed by whitespace-
+    separated floats: 9 for the rotation, 3 for the translation **in
+    centimeters** (the reference's debug-only ``linemod_pose`` reader,
+    3DRadius_lm.py:59-74, returns them raw in cm). The returned pose uses
+    the framework's ``pose*.npy`` convention — translation in meters — so
+    a tree holding only rot/tra GT drops into ``LinemodDataset`` unchanged.
+    """
+    with open(rot_path) as f:
+        f.readline()  # header (element counts)
+        r = np.array(f.read().split(), np.float32).reshape(3, 3)
+    with open(tra_path) as f:
+        f.readline()
+        t_cm = np.array(f.read().split(), np.float32)
+    if t_cm.shape != (3,):
+        raise ValueError(f"{tra_path}: expected 3 translation values, "
+                         f"got {t_cm.shape}")
+    return np.concatenate([r, (t_cm / 100.0)[:, None]], axis=1)
+
+
 def read_mask(path):
     """First channel of the mask png as int (reference rmap_dataset.py:76)."""
     arr = np.asarray(Image.open(path), dtype=np.int32)

@@ -34,12 +34,56 @@ def draw_overlay(image_u8, cad_mm, rt_mm, k, color=(255, 0, 0)):
 
 
 def save_demo_frame(out_dir, frame_id, image_u8, cad_mm, rt_est_mm, k,
-                    rt_gt_mm=None):
-    """Write <frame_id>_overlay.png with estimate (red) and GT (blue)."""
+                    rt_gt_mm=None, depth_mm=None, scene_ply=False):
+    """Write <frame_id>_overlay.png with estimate (red) and GT (blue).
+
+    ``scene_ply`` (with ``depth_mm``) additionally dumps the frame's
+    colored scene cloud as <frame_id>_scene.ply (``--demo_scene_ply``)."""
     os.makedirs(out_dir, exist_ok=True)
     img = draw_overlay(image_u8, cad_mm, rt_est_mm, k, color=(255, 0, 0))
     if rt_gt_mm is not None:
         img = draw_overlay(img, cad_mm, rt_gt_mm, k, color=(0, 0, 255))
     path = os.path.join(out_dir, f"{frame_id}_overlay.png")
     Image.fromarray(img).save(path)
+    if scene_ply and depth_mm is not None:
+        save_scene_ply(os.path.join(out_dir, f"{frame_id}_scene.ply"),
+                       image_u8, depth_mm, k)
+    return path
+
+
+def rgbd_to_color_point_cloud(k, depth, rgb):
+    """(N, 6) [x, y, z, r, g, b] back-projection of every nonzero-depth
+    pixel, in the depth's units (the reference's unused debug helper,
+    AccumulatorSpace.py:87-98)."""
+    k = np.asarray(k, np.float64)
+    depth = np.asarray(depth)
+    vs, us = depth.nonzero()
+    zs = depth[vs, us].astype(np.float64)
+    xs = (us - k[0, 2]) * zs / k[0, 0]
+    ys = (vs - k[1, 2]) * zs / k[1, 1]
+    return np.stack([xs, ys, zs,
+                     rgb[vs, us, 0], rgb[vs, us, 1], rgb[vs, us, 2]], axis=1)
+
+
+def save_scene_ply(path, image_u8, depth_mm, k):
+    """Write the frame's colored scene cloud (mm) as a binary-LE PLY —
+    eval failures become inspectable in any point-cloud viewer. Readable
+    back by ``readers.read_ply_points`` (positions)."""
+    pts = rgbd_to_color_point_cloud(k, depth_mm, np.asarray(image_u8))
+    rec = np.empty(len(pts), dtype=np.dtype(
+        [("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+         ("red", "u1"), ("green", "u1"), ("blue", "u1")]))
+    for i, name in enumerate(("x", "y", "z")):
+        rec[name] = pts[:, i]
+    for i, name in enumerate(("red", "green", "blue")):
+        rec[name] = pts[:, 3 + i].astype(np.uint8)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(rec)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n")
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(rec.tobytes())
     return path

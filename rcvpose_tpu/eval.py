@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rcvpose_tpu import fit, geometry, labels, metrics
+from rcvpose_tpu import fit, geometry, labels, metrics, utils
 from rcvpose_tpu.data import readers
 from rcvpose_tpu.data.dataset import LinemodDataset
 from rcvpose_tpu.ops import voting
@@ -360,22 +360,22 @@ def _frame_eval_seq(cfg, source, image, source_frame_id, depth_j, k,
     (with the host-side grid-overflow retry), Horn, ADD, ICP, ADD — the
     shared body of the LM and LMO loops and the strict-parity fallback for
     data-parallel frames whose vote grid overflowed. ``timers``: optional
-    {'net': ns, 'acc': ns} accumulator (blocking stage timers)."""
+    ``utils.StageTimers`` accruing blocking 'net'/'acc' stage time (the
+    reference plumbed these accumulators and never printed them,
+    AccumulatorSpace.py:510-511)."""
+    if timers is None:
+        timers = utils.StageTimers()  # throwaway (DP overflow-retry path)
     est_kpts = np.zeros((3, 3))
     scene_parts, scene_masks = [], []
     for kp in range(1, 4):
-        t0 = time.perf_counter_ns()
-        sem_map, radial_map = jax.block_until_ready(
-            source.maps(kp, image, source_frame_id, lmo=lmo))
-        if timers is not None:
-            timers["net"] += time.perf_counter_ns() - t0
-        t0 = time.perf_counter_ns()
-        center, overflow, count, pts_mm, mask = jax.block_until_ready(
-            keypoint_with_retry(cfg, sem_map, radial_map, depth_j, k,
-                                jnp.float32(max_radii[kp - 1]),
-                                jnp.float32(sem_threshold)))
-        if timers is not None:
-            timers["acc"] += time.perf_counter_ns() - t0
+        with timers.time("net"):
+            sem_map, radial_map = jax.block_until_ready(
+                source.maps(kp, image, source_frame_id, lmo=lmo))
+        with timers.time("acc"):
+            center, overflow, count, pts_mm, mask = jax.block_until_ready(
+                keypoint_with_retry(cfg, sem_map, radial_map, depth_j, k,
+                                    jnp.float32(max_radii[kp - 1]),
+                                    jnp.float32(sem_threshold)))
         est_kpts[kp - 1] = np.asarray(center)
         scene_parts.append(pts_mm)
         scene_masks.append(mask)
@@ -416,24 +416,42 @@ def _dp_mesh_or_none(cfg):
     return parallel.data_mesh(jax.device_count())
 
 
-def _prefetched_chunks(items, chunk_size, load_one):
+def _prefetched_chunks(items, chunk_size, load_one, timers=None):
     """Yield ``(n_real, padded_chunk, loaded)`` mesh-sized chunks with the
     NEXT chunk's host file IO running in a background thread while the
     caller dispatches the current one to the device mesh — without this
     every chunk serializes PNG/.dpt decodes against the devices
     (the single-producer pattern of ``BatchLoader.batches``). The last
-    chunk is padded by repeating its final item."""
+    chunk is padded by repeating its final item.
+
+    If the consumer abandons the generator mid-sweep (an exception in its
+    loop body, or an early break), the ``finally`` block sets a
+    cancellation flag and drains the queue so the producer — which would
+    otherwise block forever on ``q.put`` (maxsize=1) — exits instead of
+    leaking a thread plus a decoded chunk per aborted sweep.
+
+    ``timers``: optional ``utils.StageTimers``; decode wall time accrues
+    under the ``"decode"`` stage (producer-thread time — it overlaps
+    device compute, so it is reported separately, never added to the
+    per-frame stage totals)."""
     import queue
     import threading
 
     q = queue.Queue(maxsize=1)
+    cancelled = threading.Event()
 
     def produce():
         try:
             for c0 in range(0, len(items), chunk_size):
+                if cancelled.is_set():
+                    return
                 chunk = items[c0:c0 + chunk_size]
                 padded = chunk + [chunk[-1]] * (chunk_size - len(chunk))
-                loaded = [load_one(it) for it in padded]
+                if timers is not None:
+                    with timers.time("decode"):
+                        loaded = [load_one(it) for it in padded]
+                else:
+                    loaded = [load_one(it) for it in padded]
                 q.put((len(chunk), padded, loaded))
         except BaseException as exc:  # surfaced in the consumer
             q.put(exc)
@@ -441,13 +459,20 @@ def _prefetched_chunks(items, chunk_size, load_one):
             q.put(None)
 
     threading.Thread(target=produce, daemon=True).start()
-    while True:
-        got = q.get()
-        if got is None:
-            return
-        if isinstance(got, BaseException):
-            raise got
-        yield got
+    try:
+        while True:
+            got = q.get()
+            if got is None:
+                return
+            if isinstance(got, BaseException):
+                raise got
+            yield got
+    finally:
+        cancelled.set()
+        try:  # unblock a producer parked on q.put
+            q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def _dp_chunk_scores(mesh, source, apply_fn, variables, images, frame_ids,
@@ -528,8 +553,9 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
 
     bf_icp = af_icp = counter = overflow_count = 0
     frame_ns = 0
+    dp_timers = utils.StageTimers()
     for n_real, padded, loaded in _prefetched_chunks(
-            frames, B, lambda it: it[1]()):
+            frames, B, lambda it: it[1](), timers=dp_timers):
         chunk = padded[:n_real]
         images = [im for im, _, _ in loaded]
         depths = np.stack([d for _, d, _ in loaded])
@@ -576,15 +602,18 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
                 from rcvpose_tpu import demo
                 rt_gt_mm = loaded[i][2].copy()
                 rt_gt_mm[:, 3] *= 1000.0
-                demo.save_demo_frame(out_dir, name_fn(frame_id),
-                                     loaded[i][0], cad_mm, rt_i,
-                                     np.asarray(k), rt_gt_mm=rt_gt_mm)
+                demo.save_demo_frame(
+                    out_dir, name_fn(frame_id), loaded[i][0], cad_mm, rt_i,
+                    np.asarray(k), rt_gt_mm=rt_gt_mm, depth_mm=loaded[i][1],
+                    scene_ply=getattr(cfg, "demo_scene_ply", False))
 
     return {
         "add_before_icp": bf_icp / max(counter, 1),
         "add_after_icp": af_icp / max(counter, 1),
         "frames": counter,
         "frame_ms_per_frame": frame_ns / max(counter, 1) / 1e6,
+        "decode_ms_per_frame_overlapped":
+            dp_timers.totals.get("decode", 0) / max(counter, 1) / 1e6,
         "overflow_frames": overflow_count,
         "vote_topk": cfg.vote_topk,
         "data_parallel": B,
@@ -665,9 +694,15 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
             continue
 
         bf_icp = af_icp = counter = 0
-        timers = {"net": 0, "acc": 0}
-        for frame_id in frame_ids:
-            image, depth, rt_gt = load_frame(frame_id)
+        timers = utils.StageTimers()
+        # chunk size 1: the NEXT frame's jpg/.dpt decode runs in a
+        # background thread while this frame computes on device (the DP
+        # path's _prefetched_chunks, reused; decode time reported
+        # separately — it overlaps, so it is not per-frame latency)
+        for _, padded, loaded in _prefetched_chunks(
+                frame_ids, 1, load_frame, timers=timers):
+            frame_id = padded[0]
+            image, depth, rt_gt = loaded[0]
             rt_gt_mm = rt_gt.copy()
             rt_gt_mm[:, 3] *= 1000.0
             # Per-stage timers inside _frame_eval_seq block on device
@@ -695,24 +730,39 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
                 demo.save_demo_frame(
                     os.path.join(cfg.out_dir, "demo", class_name), frame_id,
                     image, cad_mm, np.asarray(rt), np.asarray(k),
-                    rt_gt_mm=rt_gt_mm)
+                    rt_gt_mm=rt_gt_mm, depth_mm=depth,
+                    scene_ply=getattr(cfg, "demo_scene_ply", False))
 
         results[class_name] = {
             "add_before_icp": bf_icp / max(counter, 1),
             "add_after_icp": af_icp / max(counter, 1),
             "frames": counter,
-            "net_ms_per_frame": timers["net"] / max(counter, 1) / 1e6,
-            "acc_ms_per_frame": timers["acc"] / max(counter, 1) / 1e6,
+            **_seq_timer_ms(timers, counter),
             "vote_topk": cfg.vote_topk,
         }
         progress(f"ADD(s) of {class_name}: before ICP "
                  f"{results[class_name]['add_before_icp']:.4f}, after ICP "
                  f"{results[class_name]['add_after_icp']:.4f}")
-        progress(f"{class_name} per-frame time: net "
-                 f"{results[class_name]['net_ms_per_frame']:.1f} ms, "
-                 f"accumulator "
-                 f"{results[class_name]['acc_ms_per_frame']:.1f} ms")
+        progress(_seq_timer_line(class_name, results[class_name]))
     return results
+
+
+def _seq_timer_ms(timers, counter):
+    """Sequential-loop per-frame stage times (ms) from a StageTimers:
+    blocking net/acc plus the overlapped background decode (reported
+    separately — prefetch runs it concurrently with device compute, so it
+    is not additive per-frame latency)."""
+    n = max(counter, 1)
+    ms = lambda stage: timers.totals.get(stage, 0) / n / 1e6  # noqa: E731
+    return {"net_ms_per_frame": ms("net"), "acc_ms_per_frame": ms("acc"),
+            "decode_ms_per_frame_overlapped": ms("decode")}
+
+
+def _seq_timer_line(name, res):
+    return (f"{name} per-frame time: net {res['net_ms_per_frame']:.1f} ms, "
+            f"accumulator {res['acc_ms_per_frame']:.1f} ms "
+            f"(+{res['decode_ms_per_frame_overlapped']:.1f} ms decode, "
+            f"overlapped)")
 
 
 def _dataset_eval_cfg(cfg):
@@ -770,31 +820,35 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
         cad_j = jnp.asarray(cad_mm, jnp.float32)
 
         bf_icp = af_icp = counter = 0
-        timers = {"net": 0, "acc": 0}
+        timers = utils.StageTimers()
         frames = sorted(fn for fn in os.listdir(rgb_dir)
                         if fn.endswith(".png"))
         if max_frames:
             frames = frames[:max_frames]
         gt_kpts_mm = keypoints[1:4] * 1000.0
 
-        if dp_mesh is not None:
-            def load_lmo(frame_num, pose_path):
-                rt_gt = np.load(pose_path)
-                depth = readers.read_depth(os.path.join(
-                    depth_dir, f"depth_{str(frame_num).zfill(5)}.png"))
-                image = readers.read_image(os.path.join(
-                    rgb_dir, f"color_{str(frame_num).zfill(5)}.png"))
-                return image, depth.astype(np.float32), rt_gt
+        def load_lmo(frame_num, pose_path):
+            rt_gt = np.load(pose_path)
+            depth = readers.read_depth(os.path.join(
+                depth_dir, f"depth_{str(frame_num).zfill(5)}.png"))
+            image = readers.read_image(os.path.join(
+                rgb_dir, f"color_{str(frame_num).zfill(5)}.png"))
+            return image, depth.astype(np.float32), rt_gt
 
-            frames_dp = []
-            for filename in frames:
-                frame_num = int(os.path.splitext(filename)[0][6:])
-                pose_path = os.path.join(root_occ, "blender_poses",
-                                         class_name, f"pose{frame_num}.npy")
-                if not os.path.isfile(pose_path):
-                    continue  # reference pose-skip (:813-822)
-                frames_dp.append((f"_{str(frame_num).zfill(5)}",
-                                  partial(load_lmo, frame_num, pose_path)))
+        # reference pose-skip (:813-822): only frames with a GT pose run
+        frames_kept = []
+        for filename in frames:
+            frame_num = int(os.path.splitext(filename)[0][6:])
+            pose_path = os.path.join(root_occ, "blender_poses",
+                                     class_name, f"pose{frame_num}.npy")
+            if not os.path.isfile(pose_path):
+                continue
+            frames_kept.append((filename, frame_num, pose_path))
+
+        if dp_mesh is not None:
+            frames_dp = [(f"_{str(fnum).zfill(5)}",
+                          partial(load_lmo, fnum, ppath))
+                         for _, fnum, ppath in frames_kept]
             demo_ctx = None
             if cfg.demo_mode:
                 demo_ctx = (os.path.join(cfg.out_dir, "demo_lmo",
@@ -810,16 +864,12 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
                      f"ICP {results[class_name]['add_after_icp']:.4f}")
             continue
 
-        for filename in frames:
-            frame_num = int(os.path.splitext(filename)[0][6:])  # color_NNNNN
-            pose_path = os.path.join(root_occ, "blender_poses", class_name,
-                                     f"pose{frame_num}.npy")
-            if not os.path.isfile(pose_path):
-                continue  # reference skips frames without GT (:813-822)
-            rt_gt = np.load(pose_path)
-            depth = readers.read_depth(os.path.join(
-                depth_dir, f"depth_{str(frame_num).zfill(5)}.png"))
-            image = readers.read_image(os.path.join(rgb_dir, filename))
+        # prefetched: the next frame's png decodes while this one computes
+        for _, padded, loaded in _prefetched_chunks(
+                frames_kept, 1, lambda it: load_lmo(it[1], it[2]),
+                timers=timers):
+            filename, frame_num, _ = padded[0]
+            image, depth, rt_gt = loaded[0]
             rt_gt_mm = rt_gt.copy()
             rt_gt_mm[:, 3] *= 1000.0
             # blocking per-stage timers, like the LM loop (the reference
@@ -827,7 +877,7 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
             # LMO sem threshold 0.5 (:837), ICP capped at 30 (:940-942)
             rt, score_bf, score_af = _frame_eval_seq(
                 cfg, source, image, f"_{str(frame_num).zfill(5)}",
-                jnp.asarray(depth.astype(np.float32)), k, max_radii, 0.5,
+                jnp.asarray(depth), k, max_radii, 0.5,
                 gt_kpts_mm, cad_j, rt_gt_mm, sym, lmo=True, icp_iters=30,
                 timers=timers)
 
@@ -844,23 +894,20 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
                 demo.save_demo_frame(
                     os.path.join(cfg.out_dir, "demo_lmo", class_name),
                     f"{frame_num:05d}", image, cad_mm, np.asarray(rt),
-                    np.asarray(k), rt_gt_mm=rt_gt_mm)
+                    np.asarray(k), rt_gt_mm=rt_gt_mm, depth_mm=depth,
+                    scene_ply=getattr(cfg, "demo_scene_ply", False))
 
         results[class_name] = {
             "add_before_icp": bf_icp / max(counter, 1),
             "add_after_icp": af_icp / max(counter, 1),
             "frames": counter,
-            "net_ms_per_frame": timers["net"] / max(counter, 1) / 1e6,
-            "acc_ms_per_frame": timers["acc"] / max(counter, 1) / 1e6,
+            **_seq_timer_ms(timers, counter),
             "vote_topk": cfg.vote_topk,
         }
         progress(f"ADD(s) of {class_name} (occ): before ICP "
                  f"{results[class_name]['add_before_icp']:.4f}, after ICP "
                  f"{results[class_name]['add_after_icp']:.4f}")
-        progress(f"{class_name} per-frame time: net "
-                 f"{results[class_name]['net_ms_per_frame']:.1f} ms, "
-                 f"accumulator "
-                 f"{results[class_name]['acc_ms_per_frame']:.1f} ms")
+        progress(_seq_timer_line(class_name, results[class_name]))
     return results
 
 
@@ -878,8 +925,10 @@ def _eval_ycb_frames_dp(cfg, mesh, source, metas, max_radii, gt_kpts_mm,
     skip anyway). YCB intrinsics ride per-frame through the sharded
     program. No overflow retry: the sequential YCB loop has none
     (reference :1049-1070), so parity means none here either. Returns
-    (rows, ns): rows = [(filename, image, rt_gt_mm, k, rt, sbf, saf)] in
-    input order.
+    (rows, ns): rows = [(filename, image, rt_gt_mm, k, rt, sbf, saf,
+    depth_or_None)] in input order (depth kept only when the caller needs
+    scene-PLY demo dumps — holding every frame's depth otherwise doubles
+    the sweep's host memory).
     """
     from rcvpose_tpu import train as train_mod
 
@@ -913,9 +962,12 @@ def _eval_ycb_frames_dp(cfg, mesh, source, metas, max_radii, gt_kpts_mm,
         sbf = np.asarray(scores["score_bf"])
         saf = np.asarray(scores["score_af"])
         rts = np.asarray(scores["rt"])
+        keep_depth = (getattr(cfg, "demo_mode", False)
+                      and getattr(cfg, "demo_scene_ply", False))
         for i in range(n_real):
             rows.append((chunk[i][0], loaded[i][0], rt_gts_mm[i],
-                         chunk[i][2], rts[i], float(sbf[i]), float(saf[i])))
+                         chunk[i][2], rts[i], float(sbf[i]), float(saf[i]),
+                         loaded[i][1] if keep_depth else None))
     return rows, ns
 
 
@@ -959,7 +1011,8 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
     class_ids = class_ids or list(YCB_CLASS_NAMES)
     scores_bf, scores_af, syms_flags = [], [], []
     bf_icp = af_icp = counter = 0
-    net_ns = acc_ns = dp_ns = 0
+    dp_ns = 0
+    timers = utils.StageTimers()
     dp_mesh = _dp_mesh_or_none(cfg)
 
     for class_id in class_ids:
@@ -995,39 +1048,42 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
             if max_frames:
                 frames = frames[:max_frames]
 
-            if dp_mesh is not None:
-                # data-parallel class sweep: .mat metas read up front (the
-                # class-presence skip needs them), images/depths lazily
-                def load_rgbd(cycle, idx, factor):
-                    image = readers.read_image(os.path.join(
-                        root, "data", cycle, f"{idx}-color.png"))
-                    depth_png = readers.read_depth(os.path.join(
-                        root, "data", cycle, f"{idx}-depth.png"))
-                    return image, (depth_png.astype(np.float32)
-                                   / factor * 1000.0)
+            # .mat metas read up front for BOTH paths (the class-presence
+            # skip needs them); images/depths load lazily — prefetched in
+            # the sequential loop, chunk-prefetched in the DP sweep
+            def load_rgbd(cycle, idx, factor):
+                image = readers.read_image(os.path.join(
+                    root, "data", cycle, f"{idx}-color.png"))
+                depth_png = readers.read_depth(os.path.join(
+                    root, "data", cycle, f"{idx}-depth.png"))
+                return image, (depth_png.astype(np.float32)
+                               / factor * 1000.0)
 
-                metas = []
-                for filename in frames:
-                    cycle, idx = filename.split("_")
-                    meta = scipy.io.loadmat(
-                        os.path.join(root, "data", cycle, f"{idx}.mat"))
-                    sel = np.where(
-                        meta["cls_indexes"].ravel() == class_id)[0]
-                    if sel.size == 0:
-                        continue
-                    factor = float(
-                        np.asarray(meta["factor_depth"]).ravel()[0])
-                    metas.append((
-                        filename, meta["poses"][:, :, sel[0]],
-                        np.asarray(meta["intrinsic_matrix"], np.float32),
-                        partial(load_rgbd, cycle, idx, factor)))
-                if not metas:
+            metas = []
+            for filename in frames:
+                cycle, idx = filename.split("_")
+                meta = scipy.io.loadmat(
+                    os.path.join(root, "data", cycle, f"{idx}.mat"))
+                sel = np.where(
+                    meta["cls_indexes"].ravel() == class_id)[0]
+                if sel.size == 0:
                     continue
+                factor = float(
+                    np.asarray(meta["factor_depth"]).ravel()[0])
+                metas.append((
+                    filename, meta["poses"][:, :, sel[0]],
+                    np.asarray(meta["intrinsic_matrix"], np.float32),
+                    partial(load_rgbd, cycle, idx, factor)))
+            if not metas:
+                continue
+
+            if dp_mesh is not None:
                 rows, ns = _eval_ycb_frames_dp(
                     cfg, dp_mesh, source, metas, max_radii,
                     keypoints[1:4] * 1000.0, cad_j, sym)
                 dp_ns += ns
-                for filename, image, rt_gt_mm, k_np, rt, sbf, saf in rows:
+                for (filename, image, rt_gt_mm, k_np, rt, sbf, saf,
+                     depth_row) in rows:
                     scores_bf.append(sbf)
                     scores_af.append(saf)
                     syms_flags.append(sym)
@@ -1043,47 +1099,39 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                             os.path.join(cfg.out_dir, "demo_ycb",
                                          class_name),
                             filename, image, cad_mm, rt, k_np,
-                            rt_gt_mm=rt_gt_mm)
+                            rt_gt_mm=rt_gt_mm, depth_mm=depth_row,
+                            scene_ply=(depth_row is not None))
                 continue
 
-            for filename in frames:
-                cycle, idx = filename.split("_")
-                meta = scipy.io.loadmat(
-                    os.path.join(root, "data", cycle, f"{idx}.mat"))
-                sel = np.where(meta["cls_indexes"].ravel() == class_id)[0]
-                if sel.size == 0:
-                    continue
-                rt_gt = meta["poses"][:, :, sel[0]]
-                factor = float(np.asarray(meta["factor_depth"]).ravel()[0])
-                k = jnp.asarray(meta["intrinsic_matrix"], jnp.float32)
-                image = readers.read_image(
-                    os.path.join(root, "data", cycle, f"{idx}-color.png"))
-                depth_png = readers.read_depth(
-                    os.path.join(root, "data", cycle, f"{idx}-depth.png"))
-                depth_mm = depth_png.astype(np.float32) / factor * 1000.0
+            # prefetched: the next frame's pngs decode while this one
+            # computes (blocking net/acc timers stay device-true; the
+            # reference plumbs net_time/acc_time in the YCB loop too,
+            # :1043-1047, :1066-1070)
+            for _, padded, loaded in _prefetched_chunks(
+                    metas, 1, lambda it: it[3](), timers=timers):
+                filename, rt_gt, k_np, _ = padded[0]
+                image, depth_mm = loaded[0]
+                k = jnp.asarray(k_np, jnp.float32)
 
                 est_kpts = np.zeros((3, 3))
                 scene_parts, scene_masks = [], []
                 for kp in range(1, 4):
-                    # blocking per-stage timers (the reference plumbs
-                    # net_time/acc_time in the YCB loop, :1043-1047,
-                    # :1066-1070)
-                    t0 = time.perf_counter_ns()
-                    sem_map, radial_map = jax.block_until_ready(
-                        source.maps(kp, image, filename))
-                    net_ns += time.perf_counter_ns() - t0
-                    t0 = time.perf_counter_ns()
-                    center, overflow, count, pts_mm, mask = \
-                        jax.block_until_ready(keypoint_from_maps(
-                            sem_map, radial_map, jnp.asarray(depth_mm), k,
-                            jnp.float32(max_radii[kp - 1]),
-                            jnp.float32(cfg.sem_threshold),
-                            n_points=cfg.max_points, grid_l=cfg.vote_grid_l,
-                            mode=cfg.vote_mode,
-                            topk=getattr(cfg, "vote_topk", None),
-                            cpt_stride=getattr(cfg, "vote_cpt_stride", None),
-                            win=getattr(cfg, "vote_win", None)))
-                    acc_ns += time.perf_counter_ns() - t0
+                    with timers.time("net"):
+                        sem_map, radial_map = jax.block_until_ready(
+                            source.maps(kp, image, filename))
+                    with timers.time("acc"):
+                        center, overflow, count, pts_mm, mask = \
+                            jax.block_until_ready(keypoint_from_maps(
+                                sem_map, radial_map, jnp.asarray(depth_mm),
+                                k, jnp.float32(max_radii[kp - 1]),
+                                jnp.float32(cfg.sem_threshold),
+                                n_points=cfg.max_points,
+                                grid_l=cfg.vote_grid_l,
+                                mode=cfg.vote_mode,
+                                topk=getattr(cfg, "vote_topk", None),
+                                cpt_stride=getattr(cfg, "vote_cpt_stride",
+                                                   None),
+                                win=getattr(cfg, "vote_win", None)))
                     est_kpts[kp - 1] = np.asarray(center)
                     scene_parts.append(pts_mm)
                     scene_masks.append(mask)
@@ -1120,7 +1168,8 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                     demo.save_demo_frame(
                         os.path.join(cfg.out_dir, "demo_ycb", class_name),
                         filename, image, cad_mm, np.asarray(rt),
-                        np.asarray(k), rt_gt_mm=rt_gt_mm)
+                        np.asarray(k), rt_gt_mm=rt_gt_mm, depth_mm=depth_mm,
+                        scene_ply=getattr(cfg, "demo_scene_ply", False))
 
     auc_bf = metrics.auc_add(np.asarray(scores_bf) / 1000.0,
                              thresholds=YCB_AUC_THRESHOLDS)
@@ -1141,9 +1190,6 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                  f"{results['all']['frame_ms_per_frame']:.1f} ms over "
                  f"{dp_mesh.devices.size} devices")
     else:
-        results["all"]["net_ms_per_frame"] = net_ns / max(counter, 1) / 1e6
-        results["all"]["acc_ms_per_frame"] = acc_ns / max(counter, 1) / 1e6
-        progress(f"per-frame time: net "
-                 f"{results['all']['net_ms_per_frame']:.1f} ms, accumulator "
-                 f"{results['all']['acc_ms_per_frame']:.1f} ms")
+        results["all"].update(_seq_timer_ms(timers, counter))
+        progress(_seq_timer_line("ycb", results["all"]))
     return results

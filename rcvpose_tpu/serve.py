@@ -86,11 +86,23 @@ class PoseServer:
     usually hosts several object classes (the reference evaluates 13):
     pass ``estimator_factory(class_name) -> PoseEstimator`` and pose
     requests may carry ``"class_name"`` — estimators are built lazily on
-    first use and cached for the server's lifetime (the build + first
-    compile happens under the request lock; later requests for that class
-    pay nothing). ``warmup_hw`` compiles the default estimator's frame
-    program at the given (H, W) before the socket opens so the first
-    client request does not pay the compile.
+    first use and cached for the server's lifetime. Cold-class builds and
+    first-compiles run OUTSIDE the chip execution lock, under a per-class
+    build lock: a cold class's first request pays its own checkpoint load
+    + compile (minutes on a cold cache), but concurrent traffic for
+    already-warm classes keeps flowing — only the millisecond-scale device
+    executions serialize. ``warm_classes`` pre-builds a class list before
+    the socket opens (the ``--serve_classes`` CLI flag).
+
+    When passing both ``estimator`` and ``estimator_factory``, also pass
+    ``class_name`` (the default estimator's class): without it, a request
+    that names the default estimator's own class looks like a cold class
+    and builds a duplicate — a second checkpoint load, compile, and copy
+    of the weights in device memory. ``run_serve`` always passes it.
+
+    ``warmup_hw`` compiles the default estimator's frame program at the
+    given (H, W) before the socket opens so the first client request does
+    not pay the compile.
     """
 
     def __init__(self, estimator=None, warmup_hw=None,
@@ -102,20 +114,43 @@ class PoseServer:
         self._estimators = {}
         if estimator is not None and class_name is not None:
             self._estimators[class_name] = estimator
-        self._lock = threading.Lock()  # one chip: serialize execution
+        self._lock = threading.Lock()  # one chip: serialize EXECUTION only
+        self._reg_lock = threading.Lock()   # estimator cache + build locks
+        self._build_locks = {}              # class_name -> threading.Lock
+        self._warmup_hw = warmup_hw
         self._server = None
         self._thread = None
         if warmup_hw is not None and estimator is not None:
-            h, w = warmup_hw
-            img = np.zeros((h, w, 3), np.uint8)
-            dep = np.zeros((h, w), np.float32)
-            dep[h // 3:2 * h // 3, w // 3:2 * w // 3] = 700.0
-            jax.block_until_ready(self.estimator.estimate(img, dep)["rt"])
+            self._warm_estimator(estimator, warmup_hw)
 
     # -- request handling ---------------------------------------------------
 
-    def _estimator_for(self, class_name):
-        """Resolve a pose request's estimator (caller holds the lock)."""
+    @staticmethod
+    def _warm_estimator(est, hw):
+        """Compile (and once-execute) an estimator's frame program at
+        (H, W) — a zero image with a plausible depth plateau."""
+        import jax
+        h, w = hw
+        img = np.zeros((h, w, 3), np.uint8)
+        dep = np.zeros((h, w), np.float32)
+        dep[h // 3:2 * h // 3, w // 3:2 * w // 3] = 700.0
+        jax.block_until_ready(est.estimate(img, dep)["rt"])
+
+    def warm_classes(self, class_names, hw=None):
+        """Eagerly build + compile estimators for ``class_names`` (the
+        ``--serve_classes`` warmup, run before the socket opens)."""
+        for name in class_names:
+            self._estimator_for(name, hw=hw or self._warmup_hw)
+
+    def _estimator_for(self, class_name, hw=None):
+        """Resolve a pose request's estimator.
+
+        Called WITHOUT the execution lock: a cold class's checkpoint load
+        and first compile must not stall other classes' traffic
+        (first-compile is minutes; execution is milliseconds). The
+        per-class build lock makes concurrent first requests for the same
+        class build it once; ``hw`` warms the frame program at that shape
+        before the estimator is published to the cache."""
         if class_name is None:
             if self.estimator is None:
                 raise ValueError(
@@ -129,8 +164,20 @@ class PoseServer:
             raise ValueError(
                 f"server hosts a single class and no estimator factory; "
                 f"cannot serve class_name={class_name!r}")
-        est = self._factory(class_name)
-        self._estimators[class_name] = est
+        with self._reg_lock:
+            build_lock = self._build_locks.setdefault(class_name,
+                                                      threading.Lock())
+        with build_lock:
+            est = self._estimators.get(class_name)
+            if est is not None:  # built while we waited
+                return est
+            est = self._factory(class_name)
+            if hw is not None:
+                # compile-then-swap: the trace + XLA compile happens here,
+                # off the execution lock; its single warmup execution
+                # interleaves with locked traffic at ms cost
+                self._warm_estimator(est, hw)
+            self._estimators[class_name] = est
         return est
 
     def _handle_pose(self, header, payload):
@@ -149,8 +196,9 @@ class PoseServer:
         class_name = header.get("class_name")
 
         t0 = time.perf_counter()
+        # cold-class build + compile happens OUTSIDE the execution lock
+        est = self._estimator_for(class_name, hw=(h, w))
         with self._lock:
-            est = self._estimator_for(class_name)
             result = est.estimate(image, depth)
             rt = result["rt"]
             icp_applied = False
@@ -334,10 +382,18 @@ def run_serve(cfg):
 
     ``cfg.class_name`` is the pre-warmed default; pose requests carrying
     another ``class_name`` lazily load that class's checkpoints/assets
-    from the same tree and cache the estimator (multi-class serving)."""
+    from the same tree and cache the estimator (multi-class serving).
+    ``--serve_classes a,b,c`` eagerly builds + compiles those classes
+    before the socket opens, so their first requests pay nothing."""
     est = build_lm_estimator(cfg, cfg.class_name)
     warm = (cfg.image_height, cfg.image_width)
     server = PoseServer(
         est, warmup_hw=warm, class_name=cfg.class_name,
         estimator_factory=lambda cname: build_lm_estimator(cfg, cname))
+    eager = [c.strip() for c in getattr(cfg, "serve_classes", "").split(",")
+             if c.strip() and c.strip() != cfg.class_name]
+    if eager:
+        print(f"warming {len(eager)} extra classes: {', '.join(eager)}",
+              flush=True)
+        server.warm_classes(eager, hw=warm)
     server.serve_forever(cfg.serve_host, cfg.serve_port)

@@ -297,9 +297,19 @@ class Trainer:
         # train_epoch then fast-forwards within it
         start = (self.iteration // self.steps_per_epoch
                  if self.steps_per_epoch else 0)
+        # validate (and checkpoint) every val_interval_epochs; the run's
+        # final epoch always validates so no training ends checkpoint-less
+        # (the reference declared interval_validate=1000 and never used it,
+        # /root/reference/utils.py:25 — this is that knob, working, at
+        # epoch granularity to match the reference's per-epoch validate,
+        # train.py:183)
+        interval = max(getattr(self.cfg, "val_interval_epochs", 1) or 1, 1)
         for epoch in range(start, max_epochs):
             self.train_epoch(epoch)
-            self.validate(epoch)
-            if self.iteration >= self.cfg.max_iterations:
+            done = (self.iteration >= self.cfg.max_iterations
+                    or epoch == max_epochs - 1)
+            if done or (epoch + 1) % interval == 0:
+                self.validate(epoch)
+            if done:
                 break
         return self.state

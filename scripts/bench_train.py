@@ -90,13 +90,19 @@ def main():
         # The axon remote-compile backend exposes no cost model from a bare
         # lowering; re-lower for the CPU client (FLOPs are backend-
         # independent HLO arithmetic). Done AFTER timing: switching
-        # platforms tears down the TPU backend for this process.
+        # platforms tears down the TPU backend for this process — and the
+        # previous platform value is restored in the finally so anything
+        # that runs after main() in-process is not silently pinned to CPU.
+        prev_platforms = jax.config.read("jax_platforms")
         try:
             jax.extend.backend.clear_backends()
             jax.config.update("jax_platforms", "cpu")
             flops_per_step = _flops()
         except Exception:
             flops_per_step = 0.0
+        finally:
+            jax.extend.backend.clear_backends()
+            jax.config.update("jax_platforms", prev_platforms)
     peak = 197e12  # v5e bf16 MXU peak FLOP/s
     mfu = (flops_per_step / best / peak
            if flops_per_step and backend == "tpu" else None)

@@ -278,3 +278,51 @@ def test_index_level_resume_replays_unbroken_sequence(linemod_tree):
     for _ in loader:
         pass
     assert sorted(reads[:3]) == sorted(reads[3:]) == [0, 1, 2]
+
+
+def test_read_rot_tra_pose(tmp_path, rng):
+    """Original-format rot/tra text GT (reference linemod_pose,
+    3DRadius_lm.py:59-74: header line + floats, translation in cm) reads
+    into the (3, 4) meter-translation pose convention."""
+    pose = random_pose(rng)
+    with open(tmp_path / "rot0.rot", "w") as f:
+        f.write("3 3\n" + "\n".join(
+            " ".join(f"{v:.9f}" for v in row) for row in pose[:, :3]))
+    with open(tmp_path / "tra0.tra", "w") as f:  # cm on disk
+        f.write("1 3\n" + " ".join(f"{v * 100:.9f}" for v in pose[:, 3]))
+    got = readers.read_rot_tra_pose(tmp_path / "rot0.rot",
+                                    tmp_path / "tra0.tra")
+    np.testing.assert_allclose(got, pose, rtol=1e-6, atol=1e-8)
+
+
+def test_linemod_dataset_rot_tra_fallback(tmp_path, rng):
+    """A tree holding original-format rot/tra GT (no pose*.npy) loads
+    through LinemodDataset unchanged — raw() poses match the npy values
+    the tree was generated from."""
+    root = make_linemod_tree(tmp_path, rng)
+    base = os.path.join(root, "toy")
+    expected = []
+    for i in range(3):
+        pose = np.load(os.path.join(base, "pose", f"pose{i}.npy"))
+        expected.append(pose)
+        with open(os.path.join(base, "data", f"rot{i}.rot"), "w") as f:
+            f.write("3 3\n" + " ".join(
+                f"{v:.9f}" for v in pose[:, :3].ravel()))
+        with open(os.path.join(base, "data", f"tra{i}.tra"), "w") as f:
+            f.write("1 3\n" + " ".join(
+                f"{v * 100:.9f}" for v in pose[:, 3]))
+        os.remove(os.path.join(base, "pose", f"pose{i}.npy"))
+    ds = LinemodDataset(root, "toy", kpt_num=1, split="val")
+    for i in range(3):
+        np.testing.assert_allclose(ds.raw(i)["pose"], expected[i],
+                                   rtol=1e-6, atol=1e-8)
+    # raw_batch goes through the same fallback
+    np.testing.assert_allclose(ds.raw_batch([1])[0]["pose"], expected[1],
+                               rtol=1e-6, atol=1e-8)
+    # a frame with neither GT form raises loudly
+    os.remove(os.path.join(base, "data", "tra2.tra"))
+    try:
+        ds.raw(2)
+        assert False, "expected FileNotFoundError"
+    except FileNotFoundError as exc:
+        assert "rot2.rot" in str(exc) or "tra2.tra" in str(exc)

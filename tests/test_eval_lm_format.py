@@ -223,3 +223,55 @@ def test_forced_eval_data_parallel_raises_when_unhonorable(monkeypatch):
     # auto mode stays a quiet fallback
     assert eval_mod._dp_mesh_or_none(
         Config(eval_data_parallel=None)) is None
+
+
+def test_prefetched_chunks_producer_cancels_on_abort():
+    """An abandoned _prefetched_chunks sweep (consumer raises or breaks)
+    must cancel its producer thread instead of leaving it parked on q.put
+    with a decoded chunk (ADVICE r3): after the abort, no further items
+    load and the producer exits."""
+    import threading
+    import time
+
+    from rcvpose_tpu import eval as eval_mod
+
+    loads = []
+    before = threading.active_count()
+
+    def load_one(item):
+        loads.append(item)
+        return item
+
+    gen = eval_mod._prefetched_chunks(list(range(100)), 1, load_one)
+    next(gen)
+    next(gen)
+    gen.close()  # GeneratorExit inside the consumer loop -> finally runs
+
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= before, "producer thread leaked"
+    n_after = len(loads)
+    time.sleep(0.2)
+    assert len(loads) == n_after  # producer stopped loading
+    assert n_after < 100
+
+
+def test_prefetched_chunks_full_sweep_and_padding():
+    from rcvpose_tpu import eval as eval_mod
+
+    out = list(eval_mod._prefetched_chunks(list(range(5)), 2, lambda x: -x))
+    assert [n for n, _, _ in out] == [2, 2, 1]
+    assert out[-1][1] == [4, 4]       # last chunk padded by repetition
+    assert out[-1][2] == [-4, -4]
+
+
+def test_prefetched_chunks_decode_timer():
+    from rcvpose_tpu import eval as eval_mod
+    from rcvpose_tpu import utils
+
+    timers = utils.StageTimers()
+    list(eval_mod._prefetched_chunks([1, 2, 3], 1, lambda x: x,
+                                     timers=timers))
+    assert timers.counts.get("decode") == 3
+    assert timers.totals["decode"] >= 0

@@ -224,3 +224,32 @@ def test_resume_index_level_skip_protocol(rng, mesh_env):
     # epoch 1, batches 2..3 trained; every yielded batch was trained
     assert calls == [(1, 2)]
     assert trainer.iteration == 8
+
+
+def test_val_interval_epochs(rng, mesh_env):
+    """Config.val_interval_epochs gates validation (the working version of
+    the reference's declared-but-never-used interval_validate,
+    /root/reference/utils.py:25); the final epoch always validates."""
+    cfg, mesh, state, p_train, p_eval = mesh_env
+
+    def run(interval, max_epochs):
+        val_calls = []
+
+        def val_batches():
+            val_calls.append(trainer.iteration)
+            return iter(())
+
+        trainer = train.Trainer(
+            cfg=dataclasses.replace(cfg, max_iterations=10_000,
+                                    val_interval_epochs=interval),
+            state=copy_state(state), mesh=mesh,
+            train_batches=lambda epoch: [synth_batch(rng, b=2)],
+            val_batches=val_batches, steps=(p_train, p_eval),
+            steps_per_epoch=1)
+        trainer.fit(max_epochs=max_epochs)
+        return len(val_calls)
+
+    assert run(interval=1, max_epochs=3) == 3   # reference behavior
+    assert run(interval=2, max_epochs=4) == 2   # epochs 1 and 3
+    # interval 3 over 4 epochs: epoch 2 by interval + final epoch 3
+    assert run(interval=3, max_epochs=4) == 2
