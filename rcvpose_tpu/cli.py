@@ -97,7 +97,10 @@ def build_parser():
     parser.add_argument("--eval_data_parallel", dest="eval_data_parallel",
                         action="store_true", default=None,
                         help="--mode test: shard evaluation frames over the "
-                             "device mesh (default: auto when >1 device)")
+                             "device mesh (default: auto when >1 device). "
+                             "Under --distributed, frames additionally "
+                             "shard across processes with process-local "
+                             "IO and a host-side metric reduction")
     parser.add_argument("--no_eval_data_parallel", dest="eval_data_parallel",
                         action="store_false",
                         help="force the sequential per-frame eval loop")
@@ -341,15 +344,20 @@ def main_dispatch(cfg):
     elif cfg.mode == "test":
         results = run_test(cfg)
         # the reference only *prints* its final ADD(s) lines
-        # (AccumulatorSpace.py:735-740); also persist them machine-readably
+        # (AccumulatorSpace.py:735-740); also persist them machine-readably.
+        # Multi-host: every process holds the identical reduced results
+        # (eval._finalize_class_results); only process 0 writes the file.
         import json
         import os
 
-        os.makedirs(cfg.out_dir, exist_ok=True)
-        path = os.path.join(cfg.out_dir, "eval_results.json")
-        with open(path, "w") as f:
-            json.dump(results, f, indent=2, default=float)
-        print(f"eval results written to {path}")
+        import jax
+
+        if jax.process_index() == 0:
+            os.makedirs(cfg.out_dir, exist_ok=True)
+            path = os.path.join(cfg.out_dir, "eval_results.json")
+            with open(path, "w") as f:
+                json.dump(results, f, indent=2, default=float)
+            print(f"eval results written to {path}")
     elif cfg.mode == "gen-labels":
         run_gen_labels(cfg)
     elif cfg.mode == "export-torch":

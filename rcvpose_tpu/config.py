@@ -82,8 +82,11 @@ class Config:
     icp_iters: int = 30
     eval_data_parallel: Optional[bool] = None  # --mode test: shard frames
     #   over the device mesh (net -> vote -> Horn -> ICP -> ADD per frame,
-    #   whole program on device). None = auto (on when >1 device,
-    #   single-process); False forces the sequential per-frame loop
+    #   whole program on device). None = auto (on when >1 device); False
+    #   forces the sequential per-frame loop. Multi-process (--distributed):
+    #   frames shard across processes with process-local IO, each process
+    #   runs its shard on its LOCAL device mesh, and per-class metrics
+    #   reduce host-side — every process returns the global numbers
     demo_mode: bool = False
     demo_scene_ply: bool = False      # demo mode also dumps each frame's
     #   colored scene cloud as <frame>_scene.ply (the reference's unused

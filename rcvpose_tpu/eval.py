@@ -393,27 +393,91 @@ def _frame_eval_seq(cfg, source, image, source_frame_id, depth_j, k,
 def _dp_mesh_or_none(cfg):
     """The device mesh for data-parallel ``--mode test``, or None for the
     sequential loop. Auto (``eval_data_parallel=None``): on when this
-    process sees more than one device. Multi-process runs stay sequential
-    (frame IO is process-local here). An EXPLICIT ``--eval_data_parallel``
-    that cannot be honored raises instead of silently falling back — the
-    caller asked for the DP program and may read its DP-only result keys."""
+    process sees more than one device.
+
+    Multi-process (a pod under ``--distributed``): evaluation is
+    process-sharded — each process sweeps a disjoint slice of every class's
+    frame list (``_proc_shard``; frame IO stays process-local) and the
+    per-class metrics reduce host-side (``_finalize_class_results``). The
+    mesh returned here is then the process's LOCAL device mesh: the DP
+    program never needs a cross-process collective, so one process's chips
+    run its shard and a single local chip just runs the sequential loop on
+    the shard. An EXPLICIT ``--eval_data_parallel`` that cannot be honored
+    at all (single process, one device) raises instead of silently falling
+    back — the caller asked for the DP program and may read its DP-only
+    result keys."""
     dp = getattr(cfg, "eval_data_parallel", None)
     if dp is False:
         return None
+    from rcvpose_tpu import parallel
     if jax.process_count() > 1:
-        if dp is True:
-            raise ValueError(
-                "--eval_data_parallel is single-process only (frame IO is "
-                "process-local); run without --distributed or drop the flag")
-        return None
+        if jax.local_device_count() < 2:
+            return None  # process-sharded sequential sweep on this shard
+        return parallel.local_data_mesh()
     if jax.device_count() < 2:
         if dp is True:
             raise ValueError(
                 "--eval_data_parallel requested but only "
                 f"{jax.device_count()} device is visible")
         return None
-    from rcvpose_tpu import parallel
     return parallel.data_mesh(jax.device_count())
+
+
+def _proc_shard(items):
+    """This process's slice of a global frame list — round-robin by
+    process index for load balance; identity on single-process runs.
+    Multi-host ``--mode test`` scales the reference eval sweep
+    (AccumulatorSpace.py:553-740) over a pod the way training already
+    scales: disjoint process-local IO + a host-side metric reduction."""
+    n = jax.process_count()
+    if n == 1:
+        return items
+    return items[jax.process_index()::n]
+
+
+def _finalize_class_results(res):
+    """Finish one class's results dict: cross-process reduction, then
+    raw-counter cleanup.
+
+    Single-process: strips the internal raw counters and returns the dict
+    unchanged otherwise. Multi-process: sums every process's raw counters
+    (each swept a DISJOINT frame shard — ``_proc_shard``) via a tiny
+    host-side allgather and recomputes the derived metrics, so every
+    process returns the same GLOBAL per-class numbers the single-process
+    sweep would have produced. Every process must call this once per
+    class, in the same class order (the allgather is a collective). Stage
+    times are summed across processes before the per-frame division, i.e.
+    they stay per-frame *costs*; wall-clock scales down by the process
+    count since shards run concurrently."""
+    raw = ["bf_count", "af_count", "frames", "overflow_frames",
+           "frame_total_ms", "net_total_ms", "acc_total_ms",
+           "decode_total_ms"]
+    out = dict(res)
+    if jax.process_count() > 1:
+        from rcvpose_tpu import parallel
+        keys = [k for k in raw if k in res]
+        tot = parallel.host_allgather(
+            np.array([float(res[k]) for k in keys],
+                     np.float32)).sum(axis=0)
+        out.update(dict(zip(keys, (float(v) for v in tot))))
+        n = max(int(round(out["frames"])), 1)
+        out["frames"] = int(round(out["frames"]))
+        out["add_before_icp"] = out["bf_count"] / n
+        out["add_after_icp"] = out["af_count"] / n
+        for total_key, per_key in (
+                ("frame_total_ms", "frame_ms_per_frame"),
+                ("net_total_ms", "net_ms_per_frame"),
+                ("acc_total_ms", "acc_ms_per_frame"),
+                ("decode_total_ms", "decode_ms_per_frame_overlapped")):
+            if total_key in out:
+                out[per_key] = out[total_key] / n
+        if "overflow_frames" in out:
+            out["overflow_frames"] = int(round(out["overflow_frames"]))
+        out["eval_processes"] = jax.process_count()
+    for k in raw:
+        if k not in ("frames", "overflow_frames"):  # reported, not interim
+            out.pop(k, None)
+    return out
 
 
 def _prefetched_chunks(items, chunk_size, load_one, timers=None):
@@ -617,6 +681,11 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
         "overflow_frames": overflow_count,
         "vote_topk": cfg.vote_topk,
         "data_parallel": B,
+        # raw counters for the multi-host reduction; stripped by
+        # _finalize_class_results
+        "bf_count": int(bf_icp), "af_count": int(af_icp),
+        "frame_total_ms": frame_ns / 1e6,
+        "decode_total_ms": dp_timers.totals.get("decode", 0) / 1e6,
     }
 
 
@@ -662,6 +731,7 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
             if fn.endswith(".jpg") and os.path.splitext(fn)[0] in test_ids)
         if max_frames:
             frame_ids = frame_ids[:max_frames]
+        frame_ids = _proc_shard(frame_ids)  # multi-host: disjoint shards
         gt_kpts_mm = keypoints[1:4] * 1000.0
 
         def load_frame(frame_id):
@@ -678,13 +748,13 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
             if cfg.demo_mode:
                 demo_ctx = (os.path.join(cfg.out_dir, "demo", class_name),
                             cad_mm, lambda fid: fid)
-            results[class_name] = _eval_lm_class_dp(
+            results[class_name] = _finalize_class_results(_eval_lm_class_dp(
                 cfg, dp_mesh, source,
                 [(fid, partial(load_frame, fid)) for fid in frame_ids],
                 k, max_radii, sem_threshold, gt_kpts_mm, cad_j, sym,
                 threshold_mm,
                 progress=lambda msg: progress(f"{class_name} {msg}"),
-                demo_ctx=demo_ctx)
+                demo_ctx=demo_ctx))
             progress(f"ADD(s) of {class_name}: before ICP "
                      f"{results[class_name]['add_before_icp']:.4f}, after "
                      f"ICP {results[class_name]['add_after_icp']:.4f}")
@@ -733,13 +803,14 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
                     rt_gt_mm=rt_gt_mm, depth_mm=depth,
                     scene_ply=getattr(cfg, "demo_scene_ply", False))
 
-        results[class_name] = {
+        results[class_name] = _finalize_class_results({
             "add_before_icp": bf_icp / max(counter, 1),
             "add_after_icp": af_icp / max(counter, 1),
             "frames": counter,
+            "bf_count": bf_icp, "af_count": af_icp,
             **_seq_timer_ms(timers, counter),
             "vote_topk": cfg.vote_topk,
-        }
+        })
         progress(f"ADD(s) of {class_name}: before ICP "
                  f"{results[class_name]['add_before_icp']:.4f}, after ICP "
                  f"{results[class_name]['add_after_icp']:.4f}")
@@ -751,11 +822,16 @@ def _seq_timer_ms(timers, counter):
     """Sequential-loop per-frame stage times (ms) from a StageTimers:
     blocking net/acc plus the overlapped background decode (reported
     separately — prefetch runs it concurrently with device compute, so it
-    is not additive per-frame latency)."""
+    is not additive per-frame latency). The ``*_total_ms`` raw keys feed
+    the multi-host reduction and are stripped by
+    ``_finalize_class_results``."""
     n = max(counter, 1)
-    ms = lambda stage: timers.totals.get(stage, 0) / n / 1e6  # noqa: E731
-    return {"net_ms_per_frame": ms("net"), "acc_ms_per_frame": ms("acc"),
-            "decode_ms_per_frame_overlapped": ms("decode")}
+    tot = lambda stage: timers.totals.get(stage, 0) / 1e6  # noqa: E731
+    return {"net_ms_per_frame": tot("net") / n,
+            "acc_ms_per_frame": tot("acc") / n,
+            "decode_ms_per_frame_overlapped": tot("decode") / n,
+            "net_total_ms": tot("net"), "acc_total_ms": tot("acc"),
+            "decode_total_ms": tot("decode")}
 
 
 def _seq_timer_line(name, res):
@@ -844,6 +920,7 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
             if not os.path.isfile(pose_path):
                 continue
             frames_kept.append((filename, frame_num, pose_path))
+        frames_kept = _proc_shard(frames_kept)  # multi-host shards
 
         if dp_mesh is not None:
             frames_dp = [(f"_{str(fnum).zfill(5)}",
@@ -854,11 +931,11 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
                 demo_ctx = (os.path.join(cfg.out_dir, "demo_lmo",
                                          class_name),
                             cad_mm, lambda fid: fid[1:])
-            results[class_name] = _eval_lm_class_dp(
+            results[class_name] = _finalize_class_results(_eval_lm_class_dp(
                 cfg, dp_mesh, source, frames_dp, k, max_radii, 0.5,
                 gt_kpts_mm, cad_j, sym, threshold_mm,
                 progress=lambda msg: progress(f"{class_name} {msg}"),
-                demo_ctx=demo_ctx, lmo=True, icp_iters=30)
+                demo_ctx=demo_ctx, lmo=True, icp_iters=30))
             progress(f"ADD(s) of {class_name} (occ): before ICP "
                      f"{results[class_name]['add_before_icp']:.4f}, after "
                      f"ICP {results[class_name]['add_after_icp']:.4f}")
@@ -897,13 +974,14 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
                     np.asarray(k), rt_gt_mm=rt_gt_mm, depth_mm=depth,
                     scene_ply=getattr(cfg, "demo_scene_ply", False))
 
-        results[class_name] = {
+        results[class_name] = _finalize_class_results({
             "add_before_icp": bf_icp / max(counter, 1),
             "add_after_icp": af_icp / max(counter, 1),
             "frames": counter,
+            "bf_count": bf_icp, "af_count": af_icp,
             **_seq_timer_ms(timers, counter),
             "vote_topk": cfg.vote_topk,
-        }
+        })
         progress(f"ADD(s) of {class_name} (occ): before ICP "
                  f"{results[class_name]['add_before_icp']:.4f}, after ICP "
                  f"{results[class_name]['add_after_icp']:.4f}")
@@ -916,7 +994,7 @@ YCB_AUC_THRESHOLDS = [0.0, 0.02, 0.04, 0.06, 0.08, 0.1]
 
 
 def _eval_ycb_frames_dp(cfg, mesh, source, metas, max_radii, gt_kpts_mm,
-                        cad_j, sym):
+                        cad_j, sym, timers=None):
     """One YCB class's frames, data-parallel over ``mesh``.
 
     ``metas``: list of (filename, rt_gt (3,4) meters, k (3,3), loader)
@@ -945,7 +1023,7 @@ def _eval_ycb_frames_dp(cfg, mesh, source, metas, max_radii, gt_kpts_mm,
 
     rows, ns = [], 0
     for n_real, padded, loaded in _prefetched_chunks(
-            metas, B, lambda it: it[3]()):
+            metas, B, lambda it: it[3](), timers=timers):
         chunk = padded[:n_real]
         depths = np.stack([d for _, d in loaded])
         ks = np.stack([m[2] for m in padded]).astype(np.float32)
@@ -1047,6 +1125,7 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                       if fn in test_ids]
             if max_frames:
                 frames = frames[:max_frames]
+            frames = _proc_shard(frames)  # multi-host: disjoint shards
 
             # .mat metas read up front for BOTH paths (the class-presence
             # skip needs them); images/depths load lazily — prefetched in
@@ -1080,7 +1159,7 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
             if dp_mesh is not None:
                 rows, ns = _eval_ycb_frames_dp(
                     cfg, dp_mesh, source, metas, max_radii,
-                    keypoints[1:4] * 1000.0, cad_j, sym)
+                    keypoints[1:4] * 1000.0, cad_j, sym, timers=timers)
                 dp_ns += ns
                 for (filename, image, rt_gt_mm, k_np, rt, sbf, saf,
                      depth_row) in rows:
@@ -1171,25 +1250,49 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                         np.asarray(k), rt_gt_mm=rt_gt_mm, depth_mm=depth_mm,
                         scene_ply=getattr(cfg, "demo_scene_ply", False))
 
+    nproc = jax.process_count()
+    dp_ms = dp_ns / 1e6
+    net_ms = timers.totals.get("net", 0) / 1e6
+    acc_ms = timers.totals.get("acc", 0) / 1e6
+    dec_ms = timers.totals.get("decode", 0) / 1e6
+    if nproc > 1:
+        # multi-host reduction: every process swept a disjoint frame shard
+        # (_proc_shard); the AUC needs the gathered per-frame scores, not
+        # just counts, so the score lists concatenate across processes
+        # (order-independent metric) and the counters/stage totals sum
+        from rcvpose_tpu import parallel
+        scores_bf = parallel.host_allgather_concat(scores_bf).tolist()
+        scores_af = parallel.host_allgather_concat(scores_af).tolist()
+        tot = parallel.host_allgather(np.array(
+            [bf_icp, af_icp, counter, dp_ms, net_ms, acc_ms, dec_ms],
+            np.float32)).sum(axis=0)
+        bf_icp, af_icp, counter = (int(round(float(v))) for v in tot[:3])
+        dp_ms, net_ms, acc_ms, dec_ms = (float(v) for v in tot[3:])
     auc_bf = metrics.auc_add(np.asarray(scores_bf) / 1000.0,
                              thresholds=YCB_AUC_THRESHOLDS)
     auc_af = metrics.auc_add(np.asarray(scores_af) / 1000.0,
                              thresholds=YCB_AUC_THRESHOLDS)
+    n = max(counter, 1)
     results["all"] = {
         "adds_auc_before_icp": auc_bf, "adds_auc_after_icp": auc_af,
-        "add_before_icp": bf_icp / max(counter, 1),
-        "add_after_icp": af_icp / max(counter, 1),
+        "add_before_icp": bf_icp / n,
+        "add_after_icp": af_icp / n,
         "frames": counter,
         "vote_topk": cfg.vote_topk,
+        "decode_ms_per_frame_overlapped": dec_ms / n,
     }
+    if nproc > 1:
+        results["all"]["eval_processes"] = nproc
     progress(f"ADD(s) AUC before ICP: {auc_bf:.4f}, after ICP: {auc_af:.4f}")
     if dp_mesh is not None:
-        results["all"]["frame_ms_per_frame"] = dp_ns / max(counter, 1) / 1e6
+        results["all"]["frame_ms_per_frame"] = dp_ms / n
         results["all"]["data_parallel"] = dp_mesh.devices.size
         progress(f"per-frame time (fused DP program): "
                  f"{results['all']['frame_ms_per_frame']:.1f} ms over "
-                 f"{dp_mesh.devices.size} devices")
+                 f"{dp_mesh.devices.size} devices"
+                 + (f" x {nproc} processes" if nproc > 1 else ""))
     else:
-        results["all"].update(_seq_timer_ms(timers, counter))
+        results["all"]["net_ms_per_frame"] = net_ms / n
+        results["all"]["acc_ms_per_frame"] = acc_ms / n
         progress(_seq_timer_line("ycb", results["all"]))
     return results

@@ -49,6 +49,47 @@ def data_mesh(n_devices=None, devices=None):
     return Mesh(np.asarray(devices), ("data",))
 
 
+def local_data_mesh():
+    """1-D mesh over THIS process's addressable devices only.
+
+    The multi-host evaluation building block: ``--mode test`` shards the
+    frame list across processes (frame IO is process-local), and each
+    process runs the data-parallel eval program over its OWN chips — no
+    cross-process collective inside the per-frame program; only the tiny
+    host-side metric reduction (``host_allgather``) crosses processes.
+    """
+    return Mesh(np.asarray(jax.local_devices()), ("data",))
+
+
+def host_allgather(x):
+    """Gather one same-shaped host array per process -> stacked
+    ``(process_count, ...)`` numpy array.
+
+    The host-side metric reduction for multi-host ``--mode test``: per-class
+    ADD counts and stage times are a few floats, so this rides the jax
+    coordination/collective machinery (``multihost_utils.process_allgather``)
+    once per class rather than shipping frames anywhere. Every process must
+    call it the same number of times in the same order (it is a collective).
+    """
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+
+
+def host_allgather_concat(x):
+    """Concatenate variable-length 1-D host arrays across processes, in
+    process order (YCB's AUC needs the gathered per-frame score list, not
+    just counts). Two tiny allgathers: lengths, then padded values."""
+    x = np.asarray(x, np.float32).reshape(-1)
+    lens = host_allgather(np.array([x.size], np.int32))[:, 0]
+    m = max(int(lens.max()) if lens.size else 0, 1)
+    pad = np.zeros((m,), np.float32)
+    pad[:x.size] = x
+    rows = host_allgather(pad)
+    return np.concatenate([rows[i, :int(lens[i])]
+                           for i in range(len(lens))])
+
+
 def batch_sharding(mesh):
     """Shard the leading (batch) axis over the data mesh axis."""
     return NamedSharding(mesh, P("data"))

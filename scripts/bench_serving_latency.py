@@ -119,11 +119,109 @@ def run_openloop(request, rate_fps, n, seed):
     return lat, n / wall
 
 
+def run_cold_class(args):
+    """Quantify cold-class build impact on concurrent warm traffic
+    (VERDICT r3 weak #2): a TCP PoseServer serves a warm default class
+    while a request for a never-seen class triggers its factory build
+    (sleep-injected, ``--cold_build_s`` — real first-compiles are minutes
+    on TPU; the metric here is lock contention, not build time). Reported
+    both ways: the shipped behavior (build OUTSIDE the execution lock,
+    per-class build locks) and a simulation of the old behavior (factory
+    acquires the execution lock for the whole build), as ONE JSON line.
+    """
+    import threading
+
+    jax = setup_jax(args.small)
+    from rcvpose_tpu import serve as serve_mod
+    from rcvpose_tpu.config import Config
+
+    backend = jax.default_backend()
+    small = args.small or backend == "cpu"
+    cfg = Config(compute_dtype="float32" if small else "bfloat16",
+                 vote_grid_l=64 if small else 128,
+                 max_points=1024 if small else 8192, vote_mode="hier",
+                 model_width=0.125 if small else 1.0,
+                 model_blocks="1,1,1,1" if small else "")
+    h, w = (96, 128) if small else (480, 640)
+    image, depth = synth_frame(h, w, seed=args.seed)
+    build_s = args.cold_build_s
+
+    def measure(under_lock):
+        est = build_estimator(cfg, fused=False, seed=args.seed)
+
+        def factory(cname):
+            if under_lock:  # simulate the pre-fix build-under-lock
+                with srv._lock:
+                    time.sleep(build_s)
+                    return build_estimator(cfg, fused=False, seed=99)
+            time.sleep(build_s)
+            return build_estimator(cfg, fused=False, seed=99)
+
+        srv = serve_mod.PoseServer(est, warmup_hw=(h, w),
+                                   class_name="default",
+                                   estimator_factory=factory)
+        host, port = srv.start(port=0)
+        warm = serve_mod.PoseClient(host, port)
+        try:
+            lats = []
+            for _ in range(5):  # steady state
+                t0 = time.perf_counter()
+                assert warm.pose(image, depth)["ok"]
+                lats.append(time.perf_counter() - t0)
+            steady_ms = float(np.median(lats) * 1e3)
+
+            done = threading.Event()
+
+            def cold():
+                c = serve_mod.PoseClient(host, port)
+                try:
+                    c.pose(image, depth, class_name="coldclass")
+                finally:
+                    c.close()
+                    done.set()
+
+            threading.Thread(target=cold, daemon=True).start()
+            time.sleep(min(0.3, build_s / 4))  # build now in flight
+            during = []
+            while not done.is_set():
+                t0 = time.perf_counter()
+                assert warm.pose(image, depth)["ok"]
+                during.append(time.perf_counter() - t0)
+            return steady_ms, float(np.max(during) * 1e3), len(during)
+        finally:
+            warm.close()
+            srv.shutdown()
+
+    steady_off, max_off, n_off = measure(under_lock=False)
+    steady_on, max_on, n_on = measure(under_lock=True)
+    print(json.dumps({
+        "metric": "cold_class_warm_traffic_max_ms",
+        "value": max_off,
+        "unit": "ms",
+        "cold_build_s": build_s,
+        "steady_median_ms": round(steady_off, 2),
+        "during_cold_max_ms_offlock": round(max_off, 2),
+        "warm_requests_served_during_cold_offlock": n_off,
+        "during_cold_max_ms_underlock_sim": round(max_on, 2),
+        "warm_requests_served_during_cold_underlock_sim": n_on,
+        "backend": backend,
+        "image_hw": [h, w],
+        "note": ("offlock = shipped behavior (cold build outside the "
+                 "execution lock); underlock_sim = pre-fix behavior "
+                 "simulated by a factory that holds the lock"),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="CPU smoke shapes")
     ap.add_argument("--fused", action="store_true",
                     help="kpt_heads=3 multi-head serving")
+    ap.add_argument("--cold_class", action="store_true",
+                    help="measure cold-class build impact on warm traffic "
+                         "instead of the open-loop run")
+    ap.add_argument("--cold_build_s", type=float, default=3.0,
+                    help="injected cold-class build time (s)")
     ap.add_argument("--n", type=int, default=None,
                     help="requests in the open-loop run")
     ap.add_argument("--rate", type=float, default=None,
@@ -141,6 +239,9 @@ def main():
                          "daemon's warmup; default 480,640 or 96,128 with "
                          "--small)")
     args = ap.parse_args()
+
+    if args.cold_class:
+        return run_cold_class(args)
 
     if args.daemon:
         # Pure client: the daemon owns the model; no jax needed here.

@@ -18,7 +18,7 @@ from rcvpose_tpu.config import Config
 from tests.test_data import write_ascii_ply, write_dpt
 
 
-def make_lm_eval_tree(tmp_path, rng, h=120, w=160):
+def make_lm_eval_tree(tmp_path, rng, h=120, w=160, n_frames=2):
     """Two synthetic 'ape' frames in the exact on-disk layout eval.py reads.
 
     Rendered with the real LINEMOD intrinsics (the evaluator hardcodes them,
@@ -53,7 +53,7 @@ def make_lm_eval_tree(tmp_path, rng, h=120, w=160):
     np.save(pv / "Outside9.npy", kpts9)
 
     ids = []
-    for i in range(2):
+    for i in range(n_frames):
         # pose: small rotation; translation aims the object at pixel ~(80,60)
         angle = rng.uniform(-0.3, 0.3)
         c, s = np.cos(angle), np.sin(angle)
@@ -206,9 +206,10 @@ def test_lm_eval_data_parallel_matches_sequential(lm_eval_tree, tmp_path):
 
 
 def test_forced_eval_data_parallel_raises_when_unhonorable(monkeypatch):
-    """An EXPLICIT --eval_data_parallel that cannot run (one device, or
-    multi-process) raises instead of silently falling back to the
-    sequential loop whose results lack the DP-only keys."""
+    """An EXPLICIT --eval_data_parallel that cannot run at all (single
+    process, one device) raises instead of silently falling back to the
+    sequential loop whose results lack the DP-only keys; a multi-process
+    run is honored with a LOCAL mesh (frames shard across processes)."""
     import pytest
 
     from rcvpose_tpu import eval as eval_mod
@@ -217,12 +218,34 @@ def test_forced_eval_data_parallel_raises_when_unhonorable(monkeypatch):
     monkeypatch.setattr(eval_mod.jax, "device_count", lambda: 1)
     with pytest.raises(ValueError, match="only 1 device"):
         eval_mod._dp_mesh_or_none(cfg)
+    # multi-process: the DP program runs on this process's LOCAL devices
+    # (frames are process-sharded); no raise
     monkeypatch.setattr(eval_mod.jax, "process_count", lambda: 2)
-    with pytest.raises(ValueError, match="single-process"):
-        eval_mod._dp_mesh_or_none(cfg)
-    # auto mode stays a quiet fallback
-    assert eval_mod._dp_mesh_or_none(
-        Config(eval_data_parallel=None)) is None
+    mesh = eval_mod._dp_mesh_or_none(cfg)
+    import jax
+    assert mesh is not None
+    assert mesh.devices.size == jax.local_device_count()
+    # ... and a single LOCAL device means a sequential sweep of the shard
+    monkeypatch.setattr(eval_mod.jax, "local_device_count", lambda: 1)
+    assert eval_mod._dp_mesh_or_none(cfg) is None
+
+
+def test_proc_shard_and_finalize_single_process():
+    """Single-process: _proc_shard is the identity and
+    _finalize_class_results only strips the raw counters."""
+    from rcvpose_tpu import eval as eval_mod
+
+    items = list(range(5))
+    assert eval_mod._proc_shard(items) == items
+    res = eval_mod._finalize_class_results({
+        "add_before_icp": 0.5, "add_after_icp": 1.0, "frames": 2,
+        "bf_count": 1, "af_count": 2, "net_total_ms": 10.0,
+        "acc_total_ms": 20.0, "decode_total_ms": 1.0,
+        "net_ms_per_frame": 5.0, "acc_ms_per_frame": 10.0,
+        "decode_ms_per_frame_overlapped": 0.5, "vote_topk": 64})
+    assert res["add_before_icp"] == 0.5
+    assert "bf_count" not in res and "net_total_ms" not in res
+    assert "eval_processes" not in res
 
 
 def test_prefetched_chunks_producer_cancels_on_abort():

@@ -138,62 +138,88 @@ def test_estimate_6d_pose_lmo_real_format(tmp_path, rng):
         root / "out_dp" / "demo_lmo" / "ape" / "00000_overlay.png")
 
 
-def test_estimate_6d_pose_ycb_real_format(tmp_path, rng):
+YCB_FIXTURE_CLASS = (1, "002_master_chef_can")
+
+
+def make_ycb_eval_tree(root, rng, n_frames=1, h=120, w=160):
+    """Synthetic YCB-Video tree in the exact layout the evaluator reads
+    (per-class HDF5, .mat metadata, factor_depth-scaled depth pngs), plus
+    exact radial maps saved under ``exact_radials/`` so a separate process
+    (the multi-host eval smoke) can rebuild the ExactMaps injection seam
+    from disk. Returns the (class_id, class_name) of the one class."""
     import h5py
     import scipy.io
 
-    from rcvpose_tpu import eval as eval_mod
-
-    root = tmp_path
-    class_id, class_name = 1, "002_master_chef_can"
-    h, w = 120, 160
+    root = str(root)
+    class_id, class_name = YCB_FIXTURE_CLASS
     k = np.array([[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1.0]])
     factor_depth = 10000.0
     model_m = _blob(rng)
 
-    mdir = root / "models" / class_name
+    mdir = os.path.join(root, "models", class_name)
     os.makedirs(mdir)
-    np.savetxt(mdir / "points.xyz", model_m)
-    np.save(mdir / "Outside9.npy", KPTS9)
-    os.makedirs(root / "Split" / class_name)
-    with open(root / "Split" / class_name / "val.txt", "w") as f:
-        f.write("0000_000001\n")
+    np.savetxt(os.path.join(mdir, "points.xyz"), model_m)
+    np.save(os.path.join(mdir, "Outside9.npy"), KPTS9)
+    os.makedirs(os.path.join(root, "Split", class_name))
+    os.makedirs(os.path.join(root, "exact_radials"))
 
+    cycle = "0000"
+    os.makedirs(os.path.join(root, "data", cycle))
+    ids = []
+    with h5py.File(os.path.join(root, f"{class_name}.hdf5"), "w") as f:
+        for i in range(n_frames):
+            idx = f"{i + 1:06d}"
+            rot, t = _pose_at_pixel(rng, k, 80, 60, 0.75 + 0.04 * i)
+            depth_mm = _render(model_m, rot, t, k, h, w)
+            depth_u16 = np.round(
+                depth_mm / 1000.0 * factor_depth).astype(np.uint16)
+            Image.fromarray(depth_u16.astype(np.int32)).save(
+                os.path.join(root, "data", cycle, f"{idx}-depth.png"))
+            img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(root, "data", cycle, f"{idx}-color.png"))
+            scipy.io.savemat(os.path.join(root, "data", cycle, f"{idx}.mat"), {
+                "poses": np.concatenate([rot, t[:, None]], axis=1)[:, :, None],
+                "cls_indexes": np.array([[class_id]]),
+                "factor_depth": np.array([[factor_depth]]),
+                "intrinsic_matrix": k,
+            })
+            f.create_dataset(f"JPEGImages/{cycle}_{idx}", data=img,
+                             compression="gzip")
+            # exact radial maps from the depth the evaluator will see
+            depth_seen = depth_u16.astype(np.float32) / factor_depth * 1000.0
+            for kp, radial in enumerate(_radials(depth_seen, rot, t, k), 1):
+                np.save(os.path.join(root, "exact_radials",
+                                     f"{cycle}_{idx}_pt{kp}.npy"), radial)
+            ids.append(f"{cycle}_{idx}")
+    with open(os.path.join(root, "Split", class_name, "val.txt"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+    return class_id, class_name
+
+
+class ExactMapsFromDisk:
+    """map_source_factory reading the fixture's exact radial maps from
+    ``<root>/exact_radials/`` (YCB has no precomputed-map branch in the
+    evaluator itself — reference AccumulatorSpace.py:1044 — this is the
+    test injection seam)."""
+
+    def __init__(self, cfg, cname):
+        self._dir = os.path.join(cfg.root_dataset, "exact_radials")
+
+    def maps(self, kp, image_u8, frame_id, lmo=False):
+        import jax.numpy as jnp
+        radial = np.load(os.path.join(self._dir, f"{frame_id}_pt{kp}.npy"))
+        return (jnp.asarray((radial != 0).astype(np.float32)),
+                jnp.asarray(radial))
+
+
+def test_estimate_6d_pose_ycb_real_format(tmp_path, rng):
+    from rcvpose_tpu import eval as eval_mod
+
+    root = tmp_path
+    class_id, class_name = make_ycb_eval_tree(root, rng, n_frames=1)
     cycle, idx = "0000", "000001"
-    os.makedirs(root / "data" / cycle)
-    rot, t = _pose_at_pixel(rng, k, 80, 60, 0.75)
-    depth_mm = _render(model_m, rot, t, k, h, w)
-    depth_u16 = np.round(depth_mm / 1000.0 * factor_depth).astype(np.uint16)
-    Image.fromarray(depth_u16.astype(np.int32)).save(
-        root / "data" / cycle / f"{idx}-depth.png")
-    img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
-    Image.fromarray(img).save(root / "data" / cycle / f"{idx}-color.png")
-    scipy.io.savemat(root / "data" / cycle / f"{idx}.mat", {
-        "poses": np.concatenate([rot, t[:, None]], axis=1)[:, :, None],
-        "cls_indexes": np.array([[class_id]]),
-        "factor_depth": np.array([[factor_depth]]),
-        "intrinsic_matrix": k,
-    })
-    with h5py.File(root / f"{class_name}.hdf5", "w") as f:
-        f.create_dataset(f"JPEGImages/{cycle}_{idx}", data=img,
-                         compression="gzip")
-
-    # exact radial maps via the test injection seam (YCB has no
-    # precomputed-map branch — reference AccumulatorSpace.py:1044 — so
-    # using_ckpts=False raises; see test below). Quantize depth the way
-    # the evaluator will see it.
-    depth_seen = depth_u16.astype(np.float32) / factor_depth * 1000.0
-    radials = _radials(depth_seen, rot, t, k)
-
-    class ExactMaps:
-        def __init__(self, cfg, cname):
-            assert cname == class_name
-
-        def maps(self, kp, image_u8, frame_id, lmo=False):
-            radial = radials[kp - 1]
-            import jax.numpy as jnp
-            return (jnp.asarray((radial != 0).astype(np.float32)),
-                    jnp.asarray(radial))
+    ExactMaps = ExactMapsFromDisk
 
     cfg = Config(root_dataset=str(root), using_ckpts=True, dataset="ycb",
                  compute_dtype="float32", vote_grid_l=96, max_points=2048,
