@@ -160,3 +160,27 @@ def test_serving_latency_pipeline_smoke(tmp_path):
     assert 0 < record["p50_ms"] <= record["p95_ms"] <= record["p99_ms"]
     assert record["capacity_rps"] > 0
     assert record["n_requests"] == 6
+
+
+def test_overflow_retry_pipeline_smoke():
+    """Plumbing smoke of scripts/e2e_overflow_retry_tpu.py --small: a
+    mask-noise outlier frame overflows the class grid, routes through the
+    sequential grid-retry (eval.keypoint_with_retry), and both frames
+    still score through the full evaluator. Hardware numbers come from
+    the TPU run recorded in E2E.md."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "scripts", "e2e_overflow_retry_tpu.py"),
+         "--small"],
+        capture_output=True, text=True, timeout=1200, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    record = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert record["metric"] == "overflow_retry_warm_ms_per_kpt"
+    assert record["frames"] == 2
+    assert record["eval_add_after_icp"] == 1.0
