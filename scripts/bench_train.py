@@ -93,7 +93,7 @@ def main():
         # platforms tears down the TPU backend for this process — and the
         # previous platform value is restored in the finally so anything
         # that runs after main() in-process is not silently pinned to CPU.
-        prev_platforms = jax.config.read("jax_platforms")
+        prev_platforms = jax.config.jax_platforms
         try:
             jax.extend.backend.clear_backends()
             jax.config.update("jax_platforms", "cpu")
