@@ -1,0 +1,147 @@
+"""A/B the sequential-eval host-IO prefetch against inline decode.
+
+The sequential LM/LMO/YCB loops overlap the next frame's PNG/JPEG/.dpt
+decode with the current frame's device compute through
+``eval._prefetched_chunks`` (chunk size 1). This script measures what that
+overlap is worth on the production configuration (reference
+``using_ckpts=True`` path: JPEG decode + 3 per-keypoint net forwards +
+vote + Horn + ICP per frame, ``AccumulatorSpace.py:553-740``): it builds a
+synthetic full-resolution LINEMOD tree, drives ``estimate_6d_pose_lm``
+from fresh orbax checkpoints (weights are irrelevant to timing), and runs
+the sweep twice — stock, and with ``_prefetched_chunks`` monkeypatched to
+a synchronous generator with identical semantics — reporting wall
+ms/frame both ways plus the overlapped decode time. ADD results are
+asserted identical across the two arms (the prefetch must not change
+numerics, only overlap).
+
+Run: python scripts/bench_eval_prefetch.py            (TPU, 480x640)
+     python scripts/bench_eval_prefetch.py --small    (CPU smoke — on a
+     1-core host decode and compute share the core, so the gain there is
+     expected to be ~none; the number that matters is the TPU one)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synchronous_chunks(items, chunk_size, load_one, timers=None):
+    """The no-overlap arm: identical chunking/padding/timer semantics to
+    eval._prefetched_chunks, with the decode inline in the consumer."""
+    for c0 in range(0, len(items), chunk_size):
+        chunk = items[c0:c0 + chunk_size]
+        padded = chunk + [chunk[-1]] * (chunk_size - len(chunk))
+        if timers is not None:
+            with timers.time("decode"):
+                loaded = [load_one(it) for it in padded]
+        else:
+            loaded = [load_one(it) for it in padded]
+        yield len(chunk), padded, loaded
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="CPU smoke")
+    ap.add_argument("--frames", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.small:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rcvpose_tpu import eval as eval_mod
+    from rcvpose_tpu import train as train_mod
+    from rcvpose_tpu.checkpoint import Checkpointer
+    from rcvpose_tpu.config import Config
+    from tests.test_eval_lm_format import make_lm_eval_tree
+
+    small = args.small
+    h, w = (128, 160) if small else (480, 640)
+    n_frames = args.frames or (4 if small else 24)
+
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    tree = make_lm_eval_tree(tmp / "data", np.random.default_rng(0),
+                             h=h, w=w, n_frames=n_frames)
+
+    model_dir = str(tmp / "ckpts")
+    cfg = Config(
+        root_dataset=tree, using_ckpts=True, model_dir=model_dir,
+        compute_dtype="float32" if small else "bfloat16",
+        model_blocks="1,1,1,1" if small else "",
+        model_width=0.125 if small else 1.0,
+        image_height=h, image_width=w,
+        vote_grid_l=96 if small else 192, max_points=2048,
+        vote_mode="hier", icp_iters=10, vote_topk=64,
+        eval_data_parallel=False)
+
+    # fresh-init orbax checkpoints in the 3-net reference layout — eval
+    # timing does not depend on what the weights are
+    state = train_mod.create_state(
+        cfg, jax.random.PRNGKey(0),
+        blocks=(1, 1, 1, 1) if small else None,
+        width=0.125 if small else None, sample_shape=(1, 32, 32, 3))
+    for kp in range(1, 4):
+        Checkpointer(os.path.join(model_dir, f"ape_pt{kp}")).save(
+            state, epoch=0, iteration=0, best_val=1.0, is_best=True)
+
+    def sweep():
+        t0 = time.perf_counter()
+        res = eval_mod.estimate_6d_pose_lm(cfg, class_names=["ape"],
+                                           progress=lambda *_: None)["ape"]
+        return (time.perf_counter() - t0), res
+
+    sweep()  # compile + warm (programs AND page cache — both arms equal)
+    real = eval_mod._prefetched_chunks
+    try:
+        on_s, on_res = min(
+            (sweep() for _ in range(2)), key=lambda r: r[0])
+        eval_mod._prefetched_chunks = synchronous_chunks
+        off_s, off_res = min(
+            (sweep() for _ in range(2)), key=lambda r: r[0])
+    finally:
+        eval_mod._prefetched_chunks = real
+
+    assert on_res["add_before_icp"] == off_res["add_before_icp"], (
+        on_res, off_res)
+    assert on_res["add_after_icp"] == off_res["add_after_icp"], (
+        on_res, off_res)
+    assert on_res["frames"] == n_frames == off_res["frames"]
+
+    decode_ms = on_res.get("decode_ms_per_frame_overlapped")
+    print(json.dumps({
+        "metric": "eval_prefetch_ms_per_frame",
+        "value": round(on_s / n_frames * 1e3, 1),
+        "unit": "ms",
+        "inline_decode_ms_per_frame": round(off_s / n_frames * 1e3, 1),
+        "speedup": round(off_s / on_s, 3),
+        "overlapped_decode_ms_per_frame": (
+            round(decode_ms, 1) if decode_ms is not None else None),
+        "frames": n_frames,
+        "resolution": [h, w],
+        "mode": "using_ckpts 3-net sequential loop",
+        "backend": jax.default_backend(),
+        "note": ("value = wall/frame with the shipped prefetch; "
+                 "inline = _prefetched_chunks monkeypatched to a "
+                 "synchronous generator (identical semantics, no overlap); "
+                 "ADD results asserted identical across arms"),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

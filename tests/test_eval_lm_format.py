@@ -289,6 +289,27 @@ def test_prefetched_chunks_full_sweep_and_padding():
     assert out[-1][2] == [-4, -4]
 
 
+def test_prefetch_bench_arms_are_equivalent():
+    """scripts/bench_eval_prefetch.py A/Bs the shipped _prefetched_chunks
+    against its synchronous stand-in; the comparison is only valid if the
+    two generators are semantically identical (chunking, padding, timer
+    accounting) — assert that here so the bench can't drift."""
+    import scripts.bench_eval_prefetch as bep
+
+    from rcvpose_tpu import eval as eval_mod
+    from rcvpose_tpu import utils
+
+    for items, chunk in ([list(range(5)), 2], [list(range(4)), 1],
+                         [list(range(3)), 4]):
+        t_a, t_b = utils.StageTimers(), utils.StageTimers()
+        a = list(eval_mod._prefetched_chunks(items, chunk, lambda x: -x,
+                                             timers=t_a))
+        b = list(bep.synchronous_chunks(items, chunk, lambda x: -x,
+                                        timers=t_b))
+        assert a == b
+        assert t_a.counts.get("decode") == t_b.counts.get("decode")
+
+
 def test_prefetched_chunks_decode_timer():
     from rcvpose_tpu import eval as eval_mod
     from rcvpose_tpu import utils
