@@ -82,6 +82,69 @@ def radial_labels(depth_mm, mask, pose, kpt_m, k, max_radii_dm, ycb_clip=False):
     return radial_dm.astype(jnp.float32), sem
 
 
+@partial(jax.jit, static_argnames=("hw",))
+def radial_labels_from_cad(cad_m, pose, kpt_m, k, max_radii_dm, hw):
+    """Z-buffered CAD-projection GT labels — no depth sensor required.
+
+    TPU-native counterpart of the reference's abandoned hidden-surface
+    label rasterizer (``/root/reference/3DRadius_lm.py:87-118``, unused by
+    its ``__main__``): project the posed CAD cloud, keep the nearest
+    (min-z) point per pixel, and write that point's keypoint distance.
+    The reference's per-pixel scan gated visibility on ``z <= mean(z)``
+    and, when that failed, re-used whichever point the *previous* pixel
+    accepted (``pre_z_loc`` — an iteration-order-dependent carry, i.e. a
+    bug); the z-buffer itself is the hidden-surface rule that code was
+    reaching for, so the carry is deliberately not reproduced (documented
+    divergence, same policy as ``vote_mode="surface"``). Expressed as two
+    scatter-mins (z, then point index among z-winners — ties break to the
+    lowest index, deterministically) + one gather: no data races, no
+    host loop, vmappable over poses.
+
+    Args:
+      cad_m: (N, 3) CAD model points, model frame, meters.
+      pose: (3, 4) GT pose, rotation + translation in meters.
+      kpt_m: (3,) keypoint in model frame, meters.
+      k: (3, 3) intrinsics.
+      max_radii_dm: () max keypoint radius in decimeters (larger -> 0).
+      hw: static (H, W) output size.
+
+    Returns:
+      radial_dm: (H, W) float32 radial map in decimeters (0 = background
+        or occluded), sem: (H, W) float32, +1 object / -1 background.
+    """
+    h, w = hw
+    pose = jnp.asarray(pose, jnp.float32)
+    cam_m = jnp.asarray(cad_m, jnp.float32) @ pose[:, :3].T + pose[:, 3]
+    # keypoint via the same mm-unit route as radial_labels (parity of
+    # rounding behavior with data_loader.py:78-85)
+    kpt_cam_m = (pose[:, :3] @ (jnp.asarray(kpt_m, jnp.float32) * 1000.0)
+                 + pose[:, 3] * 1000.0) / 1000.0
+
+    kj = jnp.asarray(k, jnp.float32)
+    z = cam_m[:, 2]
+    u = jnp.round(cam_m[:, 0] / z * kj[0, 0] + kj[0, 2]).astype(jnp.int32)
+    v = jnp.round(cam_m[:, 1] / z * kj[1, 1] + kj[1, 2]).astype(jnp.int32)
+    ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    flat = jnp.where(ok, v * w + u, 0)
+
+    big = jnp.float32(jnp.inf)
+    zbuf = jnp.full(h * w, big, jnp.float32).at[flat].min(
+        jnp.where(ok, z, big))
+    # among the min-z points of each pixel, the lowest index wins
+    front = ok & (z <= zbuf[flat])
+    n = cam_m.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ibuf = jnp.full(h * w, n, jnp.int32).at[flat].min(
+        jnp.where(front, idx, n))
+
+    dist_dm = jnp.linalg.norm(cam_m - kpt_cam_m, axis=-1) * 10.0
+    dist_dm = jnp.concatenate([dist_dm, jnp.zeros((1,), jnp.float32)])
+    radial = dist_dm[jnp.minimum(ibuf, n)].reshape(h, w)
+    radial = jnp.where(radial > max_radii_dm, 0.0, radial)
+    sem = jnp.where(radial > 0, 1.0, -1.0).astype(jnp.float32)
+    return radial.astype(jnp.float32), sem
+
+
 def even_crop(*arrays):
     """Crop leading two (H, W) dims to even sizes (reference data_loader.py:97-101)."""
     out = []
