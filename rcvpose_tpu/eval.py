@@ -116,10 +116,13 @@ def keypoint_from_maps_no_depth(sem_map, radial_map, k, z_min_m,
 
 
 def keypoint_with_retry(cfg, sem_map, radial_map, depth_j, k, max_r,
-                        sem_threshold, retry_grid_l=256):
+                        sem_threshold, retry_grid_l=256, on_retry=None):
     """keypoint_from_maps + host-side fallback to a larger grid when the
     frame's dynamic extent overflows the class-sized cube (mask-noise
-    outliers can stretch the cloud beyond the reference's usual grid)."""
+    outliers can stretch the cloud beyond the reference's usual grid).
+    ``on_retry``: optional zero-arg callback invoked iff the fallback
+    fires — the sequential loops count retried frames through it (the DP
+    path reads the batched overflow flags directly)."""
     kn = dict(n_points=cfg.max_points, mode=cfg.vote_mode,
               topk=getattr(cfg, "vote_topk", None),
               cpt_stride=getattr(cfg, "vote_cpt_stride", None),
@@ -127,6 +130,8 @@ def keypoint_with_retry(cfg, sem_map, radial_map, depth_j, k, max_r,
     out = keypoint_from_maps(sem_map, radial_map, depth_j, k, max_r,
                              sem_threshold, grid_l=cfg.vote_grid_l, **kn)
     if bool(out[1]) and retry_grid_l > cfg.vote_grid_l:
+        if on_retry is not None:
+            on_retry()
         out = keypoint_from_maps(sem_map, radial_map, depth_j, k, max_r,
                                  sem_threshold, grid_l=retry_grid_l, **kn)
     return out
@@ -367,15 +372,18 @@ def _frame_eval_seq(cfg, source, image, source_frame_id, depth_j, k,
         timers = utils.StageTimers()  # throwaway (DP overflow-retry path)
     est_kpts = np.zeros((3, 3))
     scene_parts, scene_masks = [], []
+    retried = [False]
     for kp in range(1, 4):
         with timers.time("net"):
             sem_map, radial_map = jax.block_until_ready(
                 source.maps(kp, image, source_frame_id, lmo=lmo))
         with timers.time("acc"):
             center, overflow, count, pts_mm, mask = jax.block_until_ready(
-                keypoint_with_retry(cfg, sem_map, radial_map, depth_j, k,
-                                    jnp.float32(max_radii[kp - 1]),
-                                    jnp.float32(sem_threshold)))
+                keypoint_with_retry(
+                    cfg, sem_map, radial_map, depth_j, k,
+                    jnp.float32(max_radii[kp - 1]),
+                    jnp.float32(sem_threshold),
+                    on_retry=lambda: retried.__setitem__(0, True)))
         est_kpts[kp - 1] = np.asarray(center)
         scene_parts.append(pts_mm)
         scene_masks.append(mask)
@@ -387,7 +395,7 @@ def _frame_eval_seq(cfg, source, image, source_frame_id, depth_j, k,
         rt, cad_j, jnp.concatenate(scene_parts),
         jnp.concatenate(scene_masks), jnp.asarray(rt_gt_mm, jnp.float32),
         sym, jnp.maximum(score_bf, 1e-3), icp_iters=icp_iters)
-    return rt, float(score_bf), float(score_af)
+    return rt, float(score_bf), float(score_af), retried[0]
 
 
 def _dp_mesh_or_none(cfg):
@@ -455,11 +463,17 @@ def _finalize_class_results(res):
     out = dict(res)
     if jax.process_count() > 1:
         from rcvpose_tpu import parallel
-        keys = [k for k in raw if k in res]
-        tot = parallel.host_allgather(
-            np.array([float(res[k]) for k in keys],
-                     np.float32)).sum(axis=0)
-        out.update(dict(zip(keys, (float(v) for v in tot))))
+        # FIXED-width vector + presence mask: the DP and sequential paths
+        # report different (same-length!) raw-key subsets, and a pod can
+        # mix them (e.g. one process with 2 chips, another with 1) — a
+        # locally-computed key list would sum positionally mismatched
+        # counters without any shape error.
+        vec = np.array(
+            [float(res.get(k, 0.0)) for k in raw]
+            + [1.0 if k in res else 0.0 for k in raw], np.float32)
+        tot = parallel.host_allgather(vec).sum(axis=0)
+        out.update({k: float(tot[i]) for i, k in enumerate(raw)
+                    if tot[len(raw) + i] > 0})
         n = max(int(round(out["frames"])), 1)
         out["frames"] = int(round(out["frames"]))
         out["add_before_icp"] = out["bf_count"] / n
@@ -490,9 +504,11 @@ def _prefetched_chunks(items, chunk_size, load_one, timers=None):
 
     If the consumer abandons the generator mid-sweep (an exception in its
     loop body, or an early break), the ``finally`` block sets a
-    cancellation flag and drains the queue so the producer — which would
-    otherwise block forever on ``q.put`` (maxsize=1) — exits instead of
-    leaking a thread plus a decoded chunk per aborted sweep.
+    cancellation flag; every producer-side ``q.put`` — including the
+    final ``None``/exception sentinel, where a plain blocking put could
+    still deadlock after the consumer's one-slot drain — polls that flag,
+    so the producer exits instead of leaking a thread plus a decoded
+    chunk per aborted sweep.
 
     ``timers``: optional ``utils.StageTimers``; decode wall time accrues
     under the ``"decode"`` stage (producer-thread time — it overlaps
@@ -503,6 +519,14 @@ def _prefetched_chunks(items, chunk_size, load_one, timers=None):
 
     q = queue.Queue(maxsize=1)
     cancelled = threading.Event()
+
+    def put_or_cancel(obj):
+        while not cancelled.is_set():
+            try:
+                q.put(obj, timeout=0.05)
+                return
+            except queue.Full:
+                continue
 
     def produce():
         try:
@@ -516,11 +540,11 @@ def _prefetched_chunks(items, chunk_size, load_one, timers=None):
                         loaded = [load_one(it) for it in padded]
                 else:
                     loaded = [load_one(it) for it in padded]
-                q.put((len(chunk), padded, loaded))
+                put_or_cancel((len(chunk), padded, loaded))
         except BaseException as exc:  # surfaced in the consumer
-            q.put(exc)
+            put_or_cancel(exc)
         else:
-            q.put(None)
+            put_or_cancel(None)
 
     threading.Thread(target=produce, daemon=True).start()
     try:
@@ -648,7 +672,7 @@ def _eval_lm_class_dp(cfg, mesh, source, frames, k, max_radii, sem_threshold,
                 # the sequential grid-retry re-run is part of this frame's
                 # cost — keep it inside the reported per-frame time
                 t1 = time.perf_counter_ns()
-                rt_i, sbf_i, saf_i = _frame_eval_seq(
+                rt_i, sbf_i, saf_i, _ = _frame_eval_seq(
                     cfg, source, image, frame_id,
                     jnp.asarray(depth), k, max_radii, sem_threshold,
                     gt_kpts_mm, cad_j, rt_gt_mm, sym, lmo=lmo,
@@ -763,7 +787,7 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
                      f"over {dp_mesh.devices.size} devices")
             continue
 
-        bf_icp = af_icp = counter = 0
+        bf_icp = af_icp = counter = overflow_count = 0
         timers = utils.StageTimers()
         # chunk size 1: the NEXT frame's jpg/.dpt decode runs in a
         # background thread while this frame computes on device (the DP
@@ -781,10 +805,11 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
             # the compute to whoever blocks first (the reference plumbed
             # net_time/acc_time but never printed them,
             # AccumulatorSpace.py:594-599, 627-630).
-            rt, score_bf, score_af = _frame_eval_seq(
+            rt, score_bf, score_af, retried = _frame_eval_seq(
                 cfg, source, image, frame_id, jnp.asarray(depth), k,
                 max_radii, sem_threshold, gt_kpts_mm, cad_j, rt_gt_mm, sym,
                 icp_iters=cfg.icp_iters, timers=timers)
+            overflow_count += retried
 
             bf_icp += score_bf <= threshold_mm
             af_icp += score_af <= threshold_mm
@@ -807,6 +832,7 @@ def estimate_6d_pose_lm(cfg, class_names=None, max_frames=None,
             "add_before_icp": bf_icp / max(counter, 1),
             "add_after_icp": af_icp / max(counter, 1),
             "frames": counter,
+            "overflow_frames": overflow_count,
             "bf_count": bf_icp, "af_count": af_icp,
             **_seq_timer_ms(timers, counter),
             "vote_topk": cfg.vote_topk,
@@ -895,7 +921,7 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
         threshold_mm = ADD_THRESHOLD[class_name] * 1000.0
         cad_j = jnp.asarray(cad_mm, jnp.float32)
 
-        bf_icp = af_icp = counter = 0
+        bf_icp = af_icp = counter = overflow_count = 0
         timers = utils.StageTimers()
         frames = sorted(fn for fn in os.listdir(rgb_dir)
                         if fn.endswith(".png"))
@@ -952,11 +978,12 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
             # blocking per-stage timers, like the LM loop (the reference
             # plumbs net_time/acc_time in every pipeline, :826-831, :862);
             # LMO sem threshold 0.5 (:837), ICP capped at 30 (:940-942)
-            rt, score_bf, score_af = _frame_eval_seq(
+            rt, score_bf, score_af, retried = _frame_eval_seq(
                 cfg, source, image, f"_{str(frame_num).zfill(5)}",
                 jnp.asarray(depth), k, max_radii, 0.5,
                 gt_kpts_mm, cad_j, rt_gt_mm, sym, lmo=True, icp_iters=30,
                 timers=timers)
+            overflow_count += retried
 
             bf_icp += score_bf <= threshold_mm
             af_icp += score_af <= threshold_mm
@@ -978,6 +1005,7 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
             "add_before_icp": bf_icp / max(counter, 1),
             "add_after_icp": af_icp / max(counter, 1),
             "frames": counter,
+            "overflow_frames": overflow_count,
             "bf_count": bf_icp, "af_count": af_icp,
             **_seq_timer_ms(timers, counter),
             "vote_topk": cfg.vote_topk,
@@ -1087,7 +1115,7 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
 
     results = {}
     class_ids = class_ids or list(YCB_CLASS_NAMES)
-    scores_bf, scores_af, syms_flags = [], [], []
+    scores_bf, scores_af = [], []
     bf_icp = af_icp = counter = 0
     dp_ns = 0
     timers = utils.StageTimers()
@@ -1165,7 +1193,6 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                      depth_row) in rows:
                     scores_bf.append(sbf)
                     scores_af.append(saf)
-                    syms_flags.append(sym)
                     bf_icp += sbf <= bbox_diag_mm * 0.01
                     af_icp += saf <= bbox_diag_mm * 0.01
                     counter += 1
@@ -1232,7 +1259,6 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
                 sbf, saf = float(score_bf), float(score_af)
                 scores_bf.append(sbf)
                 scores_af.append(saf)
-                syms_flags.append(sym)
                 bf_icp += sbf <= bbox_diag_mm * 0.01
                 af_icp += saf <= bbox_diag_mm * 0.01
                 counter += 1

@@ -97,15 +97,18 @@ def main():
     orig = os.path.join(tree, "LINEMOD_ORIG", "ape", "data", "depth1.dpt")
     depth = readers.read_depth(orig).astype(np.uint16)
     z_obj = float(depth[depth > 0].mean())
-    radials = {}
+    p1 = None
     for kp in range(1, 4):
         p = os.path.join(tree, "LINEMOD_ORIG", "estRadialMap", "ape",
                          f"Out_pt{kp}_dm", "000001.npy")
-        radials[p] = np.load(p)
-        radials[p][2, 2] = 1.0  # valid (below every max-radius clip)
-        np.save(p, radials[p])
-    sem1 = jnp.asarray((radials[p] != 0).astype(np.float32))
-    rad1 = jnp.asarray(radials[p])
+        p1 = p1 or p
+        r = np.load(p)
+        r[2, 2] = 1.0  # valid (below every max-radius clip)
+        np.save(p, r)
+    # probe with keypoint 1's map AND keypoint 1's max radius (mr above)
+    rad1_np = np.load(p1)
+    sem1 = jnp.asarray((rad1_np != 0).astype(np.float32))
+    rad1 = jnp.asarray(rad1_np)
     for dz in range(300, 1600, 100):
         depth[2, 2] = np.uint16(z_obj + dz)
         d1 = jnp.asarray(depth.astype(np.float32))
@@ -145,10 +148,12 @@ def main():
     assert not bool(out_warm[1]), "retry at grid 256 still overflowed"
 
     # full evaluator sweep: the adversarial frame routes through the retry
-    # inside the production loop and both frames still score
+    # inside the production loop (the sequential loop counts frames whose
+    # keypoint_with_retry fallback fired) and both frames still score
     res = eval_mod.estimate_6d_pose_lm(cfg, class_names=["ape"],
                                        progress=lambda *_: None)["ape"]
     assert res["frames"] == 2, res
+    assert res["overflow_frames"] == 1, res  # exactly the adversarial frame
 
     print(json.dumps({
         "metric": "overflow_retry_warm_ms_per_kpt",

@@ -15,10 +15,11 @@ Usage: python scripts/prof_trace_diff.py <logdirA> <batchA> <logdirB> <batchB> [
 e.g.   python scripts/prof_trace_diff.py /tmp/rcvpose_train_trace_b8 8 \
            /tmp/rcvpose_train_trace_b12 12
 """
+import os
 import re
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scripts.prof_train_trace import report  # noqa: E402
 

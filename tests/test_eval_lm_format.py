@@ -280,6 +280,40 @@ def test_prefetched_chunks_producer_cancels_on_abort():
     assert n_after < 100
 
 
+def test_prefetched_chunks_abort_on_final_chunk_releases_producer():
+    """The final-chunk window: the consumer aborts while the producer is
+    still LOADING the last chunk (queue empty, so the finally's one-slot
+    drain drains nothing). The producer then puts the chunk (slot fills),
+    the loop exhausts — no cancellation check runs again — and the
+    sentinel put would block forever on the full queue unless the
+    producer's puts themselves poll the cancellation flag
+    (code-review r4)."""
+    import threading
+    import time
+
+    from rcvpose_tpu import eval as eval_mod
+
+    last_loading = threading.Event()
+
+    def load_one(item):
+        if item == 1:
+            last_loading.set()
+            time.sleep(0.3)  # the consumer aborts during this load
+        return item
+
+    before = threading.active_count()
+    gen = eval_mod._prefetched_chunks([0, 1], 1, load_one)
+    next(gen)                       # consume chunk 0
+    assert last_loading.wait(5.0)   # producer mid-load of the final chunk
+    gen.close()                     # abort; queue is empty right now
+
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= before, (
+        "producer leaked parked on the sentinel put")
+
+
 def test_prefetched_chunks_full_sweep_and_padding():
     from rcvpose_tpu import eval as eval_mod
 

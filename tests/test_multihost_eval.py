@@ -23,3 +23,53 @@ def test_two_process_distributed_eval_matches_single_process():
                          text=True, timeout=3000, env=env)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "identical to the single-process run" in out.stdout
+
+
+def test_heterogeneous_path_reduction_uses_fixed_keys(monkeypatch):
+    """A pod can mix eval paths: one process with >=2 chips reports the DP
+    raw keys (frame_total_ms, overflow_frames, ...), a 1-chip process the
+    sequential ones (net_total_ms, acc_total_ms, ...) — both subsets have
+    the same length, so a locally-computed key list would sum positionally
+    mismatched counters without any shape error (code-review r4).
+    _finalize_class_results must reduce over a FIXED key layout with a
+    presence mask."""
+    import jax
+    import numpy as np
+
+    from rcvpose_tpu import eval as eval_mod
+    from rcvpose_tpu import parallel
+
+    raw = ["bf_count", "af_count", "frames", "overflow_frames",
+           "frame_total_ms", "net_total_ms", "acc_total_ms",
+           "decode_total_ms"]
+    # local process: sequential path (no frame_total_ms/overflow_frames)
+    res_local = {"bf_count": 3, "af_count": 4, "frames": 5,
+                 "net_total_ms": 50.0, "acc_total_ms": 25.0,
+                 "decode_total_ms": 10.0, "add_before_icp": 0.6,
+                 "add_after_icp": 0.8, "vote_topk": 64}
+    # remote process: DP path (no net/acc totals)
+    res_remote = {"bf_count": 2, "af_count": 3, "frames": 3,
+                  "overflow_frames": 1, "frame_total_ms": 90.0,
+                  "decode_total_ms": 6.0}
+
+    def fake_allgather(vec):
+        remote = np.array(
+            [float(res_remote.get(k, 0.0)) for k in raw]
+            + [1.0 if k in res_remote else 0.0 for k in raw], np.float32)
+        assert vec.shape == remote.shape, "reduction layout must be fixed"
+        return np.stack([np.asarray(vec), remote])
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(parallel, "host_allgather", fake_allgather)
+
+    out = eval_mod._finalize_class_results(res_local)
+    assert out["frames"] == 8
+    assert out["add_before_icp"] == (3 + 2) / 8
+    assert out["add_after_icp"] == (4 + 3) / 8
+    assert out["overflow_frames"] == 1          # remote-only key survives
+    # stage totals never cross-contaminate across mismatched paths
+    assert out["net_ms_per_frame"] == 50.0 / 8
+    assert out["acc_ms_per_frame"] == 25.0 / 8
+    assert out["frame_ms_per_frame"] == 90.0 / 8
+    assert out["decode_ms_per_frame_overlapped"] == 16.0 / 8
+    assert out["eval_processes"] == 2
