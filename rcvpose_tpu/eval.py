@@ -410,8 +410,13 @@ def _dp_mesh_or_none(cfg):
     mesh returned here is then the process's LOCAL device mesh: the DP
     program never needs a cross-process collective, so one process's chips
     run its shard and a single local chip just runs the sequential loop on
-    the shard. An EXPLICIT ``--eval_data_parallel`` that cannot be honored
-    at all (single process, one device) raises instead of silently falling
+    the shard. An EXPLICIT ``--eval_data_parallel`` on such a 1-chip
+    process is honored BY the process sharding (frames are parallel
+    across the pod, not within this process) — per-class results then
+    carry the sequential loop's stage keys (net/acc) instead of the DP
+    program's ``frame_ms_per_frame``, merged across paths by
+    ``_finalize_class_results``. Only a request that cannot be honored at
+    all (single process, one device) raises instead of silently falling
     back — the caller asked for the DP program and may read its DP-only
     result keys."""
     dp = getattr(cfg, "eval_data_parallel", None)
