@@ -113,6 +113,13 @@ def build_parser():
                         help="gen-labels: meter-valued FakeDepth/ maps for "
                              "the RGB-only ablation (reference "
                              "depthGeneration flag)")
+    parser.add_argument("--compile_cache_dir",
+                        default=defaults.compile_cache_dir,
+                        help="persistent XLA compilation cache directory "
+                             "(default off). TPU program compiles are "
+                             "minutes; with the cache, serving restarts, "
+                             "cold-class builds, and resumed runs load "
+                             "them from disk in seconds (PERF.md)")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: jax.distributed.initialize() "
                              "before mesh construction (no-op on one host)")
@@ -330,6 +337,10 @@ def run_export_torch(cfg):
 
 def main(argv=None):
     cfg = config_from_args(argv)
+    if cfg.compile_cache_dir:
+        from rcvpose_tpu import utils
+
+        utils.enable_compile_cache(cfg.compile_cache_dir)
     if cfg.profile_dir and cfg.mode in ("train", "test"):
         from rcvpose_tpu import profiling
 

@@ -99,6 +99,12 @@ class Config:
     export_path: str = ""             # export-torch output .pth.tar ("" =
     #   <model_dir>/exported.pth.tar)
     # --- infra ---
+    compile_cache_dir: str = ""       # persistent XLA compilation cache
+    #   ("" = off). Full-size program compiles are minutes on TPU; with the
+    #   cache every later process (serving restarts, cold-class builds,
+    #   resumed training) loads them from disk in seconds. Shared safely
+    #   across concurrent processes; keyed by backend + program, so one dir
+    #   serves CPU tests and TPU runs alike (utils.enable_compile_cache)
     distributed: bool = False         # multi-host: jax.distributed.initialize
     out_dir: str = "logs"
     model_dir: str = "ckpts"

@@ -384,7 +384,11 @@ def run_serve(cfg):
     another ``class_name`` lazily load that class's checkpoints/assets
     from the same tree and cache the estimator (multi-class serving).
     ``--serve_classes a,b,c`` eagerly builds + compiles those classes
-    before the socket opens, so their first requests pay nothing."""
+    before the socket opens, so their first requests pay nothing.
+    Deployments should also set ``--compile_cache_dir``: warmups and
+    cold-class builds then load their XLA programs from the persistent
+    cache (seconds) instead of recompiling (minutes) on every restart
+    (utils.enable_compile_cache; measured in PERF.md)."""
     est = build_lm_estimator(cfg, cfg.class_name)
     warm = (cfg.image_height, cfg.image_width)
     server = PoseServer(

@@ -11,6 +11,33 @@ import os
 import time
 
 
+def enable_compile_cache(cache_dir, min_compile_secs=1.0):
+    """Point JAX's persistent compilation cache at ``cache_dir``.
+
+    XLA compiles of the full-size frame/train programs take minutes on TPU
+    (PERF.md); the persistent cache makes every compile after the first —
+    across *processes and restarts* — a disk load instead. This is what
+    takes a serving daemon's cold-class build or a restarted training run
+    from minutes to seconds (measured in PERF.md "Persistent compilation
+    cache"). Safe to share between concurrent processes (entries are
+    content-hashed, written atomically) and across backends (the backend
+    is part of the cache key). Call before the first jit execution;
+    programs compiled earlier in the process are not retroactively cached.
+    """
+    import jax
+    from jax.experimental.compilation_cache import compilation_cache
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # the cache object is created lazily and then pinned — if some earlier
+    # compile already initialized it against another dir, the config
+    # update alone would be silently ignored
+    compilation_cache.reset_cache()
+
+
 def get_log_dir(cfg):
     """Create logs/<dataset>/<class>Kp<k>/ and dump the config there."""
     log_dir = cfg.log_dir()

@@ -146,6 +146,21 @@ def run_cold_class(args):
     image, depth = synth_frame(h, w, seed=args.seed)
     build_s = args.cold_build_s
 
+    # Pre-warm every one-time jit program the factory path touches
+    # (model.init + the shared frame program) so BOTH arms measure lock
+    # contention around the injected build, not whichever arm runs first
+    # paying the process's one-time compiles. On the TPU tunnel those
+    # remote compiles also serialize with device execution at the service
+    # level (environment, not framework), which would otherwise swamp the
+    # contention signal entirely.
+    pre = build_estimator(cfg, fused=False, seed=99)
+    jax_mod = __import__("jax")
+    dep0 = np.zeros((h, w), np.float32)
+    dep0[h // 3:2 * h // 3, w // 3:2 * w // 3] = 700.0
+    jax_mod.block_until_ready(
+        pre.estimate(np.zeros((h, w, 3), np.uint8), dep0)["rt"])
+    del pre
+
     def measure(under_lock):
         est = build_estimator(cfg, fused=False, seed=args.seed)
 
