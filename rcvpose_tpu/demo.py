@@ -54,15 +54,17 @@ def save_demo_frame(out_dir, frame_id, image_u8, cad_mm, rt_est_mm, k,
 def rgbd_to_color_point_cloud(k, depth, rgb):
     """(N, 6) [x, y, z, r, g, b] back-projection of every nonzero-depth
     pixel, in the depth's units (the reference's unused debug helper,
-    AccumulatorSpace.py:87-98)."""
-    k = np.asarray(k, np.float64)
+    AccumulatorSpace.py:87-98) — the pinhole math lives once, in
+    ``geometry.backproject_dense``; this just gathers the valid pixels
+    and joins the colors."""
+    from rcvpose_tpu import geometry
     depth = np.asarray(depth)
-    vs, us = depth.nonzero()
-    zs = depth[vs, us].astype(np.float64)
-    xs = (us - k[0, 2]) * zs / k[0, 0]
-    ys = (vs - k[1, 2]) * zs / k[1, 1]
-    return np.stack([xs, ys, zs,
-                     rgb[vs, us, 0], rgb[vs, us, 1], rgb[vs, us, 2]], axis=1)
+    xyz, valid = geometry.backproject_dense(depth.astype(np.float32), k)
+    vs, us = np.asarray(valid).nonzero()
+    rgb = np.asarray(rgb)
+    return np.concatenate(
+        [np.asarray(xyz)[vs, us].astype(np.float64),
+         rgb[vs, us, :3].astype(np.float64)], axis=1)
 
 
 def save_scene_ply(path, image_u8, depth_mm, k):

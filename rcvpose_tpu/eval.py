@@ -542,9 +542,14 @@ def _prefetched_chunks(items, chunk_size, load_one, timers=None):
                 padded = chunk + [chunk[-1]] * (chunk_size - len(chunk))
                 if timers is not None:
                     with timers.time("decode"):
-                        loaded = [load_one(it) for it in padded]
+                        loaded = [load_one(it) for it in chunk]
                 else:
-                    loaded = [load_one(it) for it in padded]
+                    loaded = [load_one(it) for it in chunk]
+                # pad by repeating the last DECODED object: re-decoding
+                # duplicates would waste IO and, worse, bill the padding
+                # to the per-frame "decode" timer (a 2-frame class on an
+                # 8-device mesh would report ~4x its true decode cost)
+                loaded = loaded + [loaded[-1]] * (chunk_size - len(chunk))
                 put_or_cancel((len(chunk), padded, loaded))
         except BaseException as exc:  # surfaced in the consumer
             put_or_cancel(exc)
@@ -1286,19 +1291,31 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
     net_ms = timers.totals.get("net", 0) / 1e6
     acc_ms = timers.totals.get("acc", 0) / 1e6
     dec_ms = timers.totals.get("decode", 0) / 1e6
+    any_dp = dp_mesh is not None
+    any_seq = dp_mesh is None
+    dp_devices = int(dp_mesh.devices.size) if dp_mesh is not None else 0
     if nproc > 1:
         # multi-host reduction: every process swept a disjoint frame shard
         # (_proc_shard); the AUC needs the gathered per-frame scores, not
         # just counts, so the score lists concatenate across processes
-        # (order-independent metric) and the counters/stage totals sum
+        # (order-independent metric) and the counters/stage totals sum.
+        # Path presence reduces too (the _finalize_class_results fixed-key
+        # pattern): on a heterogeneous pod one process can run DP while
+        # another runs sequentially, and every process must report the
+        # same GLOBAL key set and numbers, not its local path's subset.
         from rcvpose_tpu import parallel
         scores_bf = parallel.host_allgather_concat(scores_bf).tolist()
         scores_af = parallel.host_allgather_concat(scores_af).tolist()
         tot = parallel.host_allgather(np.array(
-            [bf_icp, af_icp, counter, dp_ms, net_ms, acc_ms, dec_ms],
+            [bf_icp, af_icp, counter, dp_ms, net_ms, acc_ms, dec_ms,
+             1.0 if any_dp else 0.0, float(dp_devices),
+             1.0 if any_seq else 0.0],
             np.float32)).sum(axis=0)
         bf_icp, af_icp, counter = (int(round(float(v))) for v in tot[:3])
-        dp_ms, net_ms, acc_ms, dec_ms = (float(v) for v in tot[3:])
+        dp_ms, net_ms, acc_ms, dec_ms = (float(v) for v in tot[3:7])
+        any_dp = tot[7] > 0
+        dp_devices = int(round(float(tot[8])))
+        any_seq = tot[9] > 0
     auc_bf = metrics.auc_add(np.asarray(scores_bf) / 1000.0,
                              thresholds=YCB_AUC_THRESHOLDS)
     auc_af = metrics.auc_add(np.asarray(scores_af) / 1000.0,
@@ -1315,14 +1332,16 @@ def estimate_6d_pose_ycb(cfg, class_ids=None, max_frames=None,
     if nproc > 1:
         results["all"]["eval_processes"] = nproc
     progress(f"ADD(s) AUC before ICP: {auc_bf:.4f}, after ICP: {auc_af:.4f}")
-    if dp_mesh is not None:
+    if any_dp:
+        # stage totals sum across processes before the global-frame
+        # division (per-frame *costs*, _finalize_class_results semantics)
         results["all"]["frame_ms_per_frame"] = dp_ms / n
-        results["all"]["data_parallel"] = dp_mesh.devices.size
+        results["all"]["data_parallel"] = dp_devices
         progress(f"per-frame time (fused DP program): "
                  f"{results['all']['frame_ms_per_frame']:.1f} ms over "
-                 f"{dp_mesh.devices.size} devices"
-                 + (f" x {nproc} processes" if nproc > 1 else ""))
-    else:
+                 f"{dp_devices} devices"
+                 + (f" across {nproc} processes" if nproc > 1 else ""))
+    if any_seq:
         results["all"]["net_ms_per_frame"] = net_ms / n
         results["all"]["acc_ms_per_frame"] = acc_ms / n
         progress(_seq_timer_line("ycb", results["all"]))

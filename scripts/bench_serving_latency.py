@@ -198,7 +198,11 @@ def run_cold_class(args):
             threading.Thread(target=cold, daemon=True).start()
             time.sleep(min(0.3, build_s / 4))  # build now in flight
             during = []
-            while not done.is_set():
+            while not done.is_set() or not during:
+                # the `or not during` guard: with a tiny --cold_build_s the
+                # cold request can finish before the first warm probe, and
+                # np.max([]) would crash the bench — always measure at
+                # least one warm request
                 t0 = time.perf_counter()
                 assert warm.pose(image, depth)["ok"]
                 during.append(time.perf_counter() - t0)

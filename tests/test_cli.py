@@ -186,6 +186,7 @@ def test_compile_cache_flag_plumbs_and_caches(tmp_path):
 
     prev_dir = jax.config.jax_compilation_cache_dir
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
     try:
         utils.enable_compile_cache(cfg.compile_cache_dir,
                                    min_compile_secs=0.0)
@@ -199,6 +200,13 @@ def test_compile_cache_flag_plumbs_and_caches(tmp_path):
         float(probe(jax.numpy.ones((64, 64), jnp.float32)))
         assert any(os.scandir(cache)), "no persistent cache entry written"
     finally:
+        from jax.experimental.compilation_cache import compilation_cache
         jax.config.update("jax_compilation_cache_dir", prev_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           prev_min)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          prev_size)
+        # the cache object is pinned at first use (see enable_compile_cache)
+        # — without this reset, later tests in the process keep writing into
+        # this test's deleted tmp dir instead of the conftest cache
+        compilation_cache.reset_cache()

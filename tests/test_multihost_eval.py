@@ -73,3 +73,79 @@ def test_heterogeneous_path_reduction_uses_fixed_keys(monkeypatch):
     assert out["frame_ms_per_frame"] == 90.0 / 8
     assert out["decode_ms_per_frame_overlapped"] == 16.0 / 8
     assert out["eval_processes"] == 2
+
+
+def test_ycb_heterogeneous_path_reduction(tmp_path, rng, monkeypatch):
+    """The YCB tail reduces path PRESENCE, not just counters: on a mixed
+    pod (this process sequential, a remote one DP) every process must
+    report the union key set — frame_ms_per_frame/data_parallel from the
+    DP shard AND net/acc from the sequential shard — over GLOBAL frame
+    counts, instead of keying the report on its local dp_mesh
+    (code-review r4). Runs the real evaluator single-process-sequential
+    and injects a fake DP remote via the host collectives."""
+    import jax
+    import numpy as np
+
+    from rcvpose_tpu import eval as eval_mod
+    from rcvpose_tpu import metrics, parallel
+    from rcvpose_tpu.config import Config
+    from tests.test_eval_lmo_ycb_format import (ExactMapsFromDisk,
+                                                make_ycb_eval_tree)
+
+    root = tmp_path
+    class_id, _ = make_ycb_eval_tree(root, rng, n_frames=1)
+    cfg = Config(root_dataset=str(root), using_ckpts=True, dataset="ycb",
+                 compute_dtype="float32", vote_grid_l=96, max_points=2048,
+                 vote_mode="hier", icp_iters=10, out_dir=str(root / "out"),
+                 eval_data_parallel=False)
+
+    # fake remote: one DP-swept frame on an 8-chip process
+    remote_scores = [np.array([5.0], np.float32),   # bf (mm)
+                     np.array([4.0], np.float32)]   # af
+    remote_vec = np.array([1, 1, 1, 120.0, 0.0, 0.0, 4.0, 1.0, 8.0, 0.0],
+                          np.float32)
+    seen = {"vecs": [], "scores": []}
+
+    def fake_allgather(vec):
+        vec = np.asarray(vec, np.float32)
+        assert vec.shape == remote_vec.shape, "reduction layout must be fixed"
+        seen["vecs"].append(vec.copy())
+        return np.stack([vec, remote_vec])
+
+    def fake_concat(lst):
+        arr = np.asarray(lst, np.float32)
+        seen["scores"].append(arr.copy())
+        return np.concatenate([arr, remote_scores[len(seen["scores"]) - 1]])
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(parallel, "host_allgather", fake_allgather)
+    monkeypatch.setattr(parallel, "host_allgather_concat", fake_concat)
+
+    lines = []
+    res = eval_mod.estimate_6d_pose_ycb(
+        cfg, class_ids=[class_id], progress=lines.append,
+        map_source_factory=ExactMapsFromDisk)["all"]
+
+    local = seen["vecs"][0]
+    assert local[7] == 0 and local[9] == 1      # local path: sequential
+    tot = local + remote_vec
+    assert res["frames"] == 2
+    assert res["eval_processes"] == 2
+    # union key set, global numbers — identical on every process
+    assert res["data_parallel"] == 8
+    assert res["frame_ms_per_frame"] == tot[3] / 2
+    assert res["net_ms_per_frame"] == tot[4] / 2
+    assert res["acc_ms_per_frame"] == tot[5] / 2
+    assert res["add_before_icp"] == tot[0] / 2
+    assert res["add_after_icp"] == tot[1] / 2
+    # AUC over the gathered (local + remote) per-frame scores
+    for key, gathered in (("adds_auc_before_icp", 0),
+                          ("adds_auc_after_icp", 1)):
+        merged = np.concatenate([seen["scores"][gathered],
+                                 remote_scores[gathered]])
+        # .tolist() mirrors the evaluator's own f32 -> f64 round-trip
+        assert res[key] == metrics.auc_add(
+            np.asarray(merged.tolist()) / 1000.0,
+            thresholds=eval_mod.YCB_AUC_THRESHOLDS)
+    assert any("fused DP program" in ln for ln in lines)
+    assert any("per-frame time: net" in ln for ln in lines)
