@@ -26,12 +26,26 @@ import orbax.checkpoint as ocp
 
 class Checkpointer:
     """Orbax-backed ckpt/best-ckpt pair (reference 'ckpt.pth.tar' +
-    'model_best.pth.tar' convention, train.py:118-131)."""
+    'model_best.pth.tar' convention, train.py:118-131).
 
-    def __init__(self, directory):
+    Saves are ASYNC by default (orbax ``AsyncCheckpointer``): ``save``
+    returns once the device arrays are snapshotted to host memory, and the
+    ~0.5 GB disk write streams in a background thread while training
+    continues — the reference (and the round-4 build) stalled every
+    validation on the full write. ``save`` first waits out any still-
+    running previous save (by the next validation it has long finished),
+    ``restore`` waits before reading, and ``Trainer.fit`` waits before
+    returning so a finished run never has a write in flight. Snapshotting
+    also makes the donated train-step buffers safe: the next step may
+    overwrite the device arrays freely. ``async_save=False`` restores the
+    fully synchronous behavior (measured stall delta in PERF.md
+    "Train-loop host syncs")."""
+
+    def __init__(self, directory, async_save=True):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        self._ckpt = ocp.StandardCheckpointer()
+        self._ckpt = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+                      if async_save else ocp.StandardCheckpointer())
 
     def _payload(self, state, epoch, iteration, best_val):
         return {
@@ -44,22 +58,32 @@ class Checkpointer:
             "best_val": np.asarray(best_val),
         }
 
+    def wait_until_finished(self):
+        """Block until every dispatched save has committed to disk."""
+        self._ckpt.wait_until_finished()
+
     def save(self, state, epoch, iteration, best_val, is_best=False):
         payload = self._payload(state, epoch, iteration, best_val)
-        path = os.path.join(self.directory, "ckpt")
-        self._ckpt.save(path, payload, force=True)
+        # serialize with the PREVIOUS save (long done by the next
+        # validation); the save dispatched below then overlaps training
         self._ckpt.wait_until_finished()
+        path = os.path.join(self.directory, "ckpt")
+        self._ckpt.save(path, args=ocp.args.StandardSave(payload),
+                        force=True)
         if is_best:
-            best = os.path.join(self.directory, "model_best")
-            self._ckpt.save(best, payload, force=True)
             self._ckpt.wait_until_finished()
+            best = os.path.join(self.directory, "model_best")
+            self._ckpt.save(best, args=ocp.args.StandardSave(payload),
+                            force=True)
 
     def restore(self, state, best=False):
         """Returns (state, epoch, iteration, best_val)."""
+        self._ckpt.wait_until_finished()  # an in-flight save of this dir
         name = "model_best" if best else "ckpt"
         path = os.path.join(self.directory, name)
         template = self._payload(state, 0, 0, float("inf"))
-        payload = self._ckpt.restore(path, template)
+        payload = self._ckpt.restore(
+            path, args=ocp.args.StandardRestore(template))
         new_state = state.replace(
             params=payload["params"],
             batch_stats=payload["batch_stats"],

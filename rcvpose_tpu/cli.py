@@ -21,7 +21,7 @@ def build_parser():
     defaults = Config()
     parser.add_argument("--mode", default=defaults.mode,
                         choices=["train", "test", "benchmark", "gen-labels",
-                                 "export-torch", "serve"])
+                                 "export-torch", "serve", "check-data"])
     parser.add_argument("--dname", "--dataset", dest="dataset",
                         default=defaults.dataset, choices=["lm", "lmo", "ycb"])
     parser.add_argument("--root_dataset", default=defaults.root_dataset)
@@ -73,7 +73,35 @@ def build_parser():
     parser.add_argument("--max_points", type=int,
                         default=defaults.max_points,
                         help="padded point-cloud size for voting")
+    parser.add_argument("--retry_grid_l", type=int,
+                        default=defaults.retry_grid_l,
+                        help="vote-grid side for the overflow retry; a "
+                             "frame still overflowing after the retry is "
+                             "reported as overflow_after_retry")
+    parser.add_argument("--pack_win_h", type=int, default=defaults.pack_win_h,
+                        help="serving point-packing window height px (0 = "
+                             "derive from class geometry)")
+    parser.add_argument("--pack_win_w", type=int, default=defaults.pack_win_w,
+                        help="serving point-packing window width px (0 = "
+                             "derive from class geometry)")
+    parser.add_argument("--pack_z_min_mm", type=float,
+                        default=defaults.pack_z_min_mm,
+                        help="nearest expected object depth for the derived "
+                             "packing window")
     parser.add_argument("--icp_iters", type=int, default=defaults.icp_iters)
+    parser.add_argument("--no_ycb_icp_converged", dest="ycb_icp_converged",
+                        action="store_false",
+                        default=defaults.ycb_icp_converged,
+                        help="YCB eval: fixed icp_iters instead of the "
+                             "reference's converge-to-tolerance ICP "
+                             "(AccumulatorSpace.py:1165-1169)")
+    parser.add_argument("--ycb_icp_max_iters", type=int,
+                        default=defaults.ycb_icp_max_iters,
+                        help="iteration cap on the converged YCB ICP")
+    parser.add_argument("--icp_rel_tol", type=float,
+                        default=defaults.icp_rel_tol,
+                        help="convergence tolerance (fitness + RMSE "
+                             "absolute per-iteration delta)")
     parser.add_argument("--serve_host", default=defaults.serve_host)
     parser.add_argument("--serve_port", type=int,
                         default=defaults.serve_port)
@@ -81,6 +109,17 @@ def build_parser():
                         help="comma list of extra classes to build + "
                              "compile before the serve socket opens "
                              "(cold-class warmup)")
+    parser.add_argument("--serve_devices", type=int,
+                        default=defaults.serve_devices,
+                        help="pre-build per-chip replicas of the default "
+                             "class on the first N local devices (0 = "
+                             "lazy background growth under load; requests "
+                             "always round-robin across free chips)")
+    parser.add_argument("--log_interval", type=int,
+                        default=defaults.log_interval,
+                        help="fetch + TB-log train metrics every N steps "
+                             "(per-step fetches host-sync the loop; the "
+                             "NaN guard samples at this cadence)")
     parser.add_argument("--val_interval_epochs", type=int,
                         default=defaults.val_interval_epochs,
                         help="validate + checkpoint every N epochs "
@@ -377,6 +416,12 @@ def main_dispatch(cfg):
         from rcvpose_tpu import serve as serve_mod
 
         serve_mod.run_serve(cfg)
+    elif cfg.mode == "check-data":
+        from rcvpose_tpu import checkdata
+
+        findings = checkdata.run_check(cfg)
+        if any(f.level == "ERROR" for f in findings):
+            raise SystemExit(1)
     else:
         import os
         import runpy

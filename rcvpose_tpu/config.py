@@ -19,7 +19,8 @@ from typing import Optional
 @dataclasses.dataclass
 class Config:
     # --- task ---
-    mode: str = "train"               # train | test | gen-labels | benchmark
+    mode: str = "train"               # train | test | gen-labels |
+    #   benchmark | export-torch | serve | check-data
     dataset: str = "lm"               # lm | lmo | ycb
     root_dataset: str = "./datasets/LINEMOD"
     class_name: str = "ape"
@@ -36,6 +37,10 @@ class Config:
     val_interval_epochs: int = 1      # validate (and checkpoint) every N
     #   epochs; 1 = the reference's behavior (train.py:183). The final
     #   epoch always validates so a run never ends without a checkpoint.
+    log_interval: int = 10            # fetch + TB-log train metrics every
+    #   N steps (a fetch is a host sync that serializes against the
+    #   device; the NaN guard samples at this cadence — at most N-1 steps
+    #   late, never past the epoch). 1 = the reference's per-step behavior.
     # --- model ---
     model: str = "dense"              # dense | res
     model_blocks: str = ""            # "" = ResNet-152 (3,8,36,3); e.g.
@@ -61,7 +66,11 @@ class Config:
     serve_classes: str = ""           # comma list: extra classes to build +
     #   compile BEFORE the socket opens (cold-class warmup; lazily-loaded
     #   classes otherwise pay their build on first request, off the
-    #   execution lock)
+    #   execution locks)
+    serve_devices: int = 0            # pre-build the default class's
+    #   per-chip replicas on the first N local devices at startup (0 =
+    #   lazy: the server still grows onto every chip in the background
+    #   under concurrent load). Requests round-robin across free chips.
     # --- accumulator ---
     vote_grid_l: int = 192
     vote_mode: str = "hier"           # hier | exact | surface
@@ -75,11 +84,31 @@ class Config:
     vote_win: Optional[int] = None    # hier refine window side (None = 8);
     #   topk=16/stride=8/win=8 is the measured speed-lean point (-13% vote
     #   time at 0.75 occluded agreement)
+    retry_grid_l: int = 256           # grid side for the host-side
+    #   overflow retry (a frame whose dynamic extent overflows the
+    #   class-sized cube re-runs once at this size; a frame that STILL
+    #   overflows is surfaced as overflow_after_retry in eval results)
+    # --- serving point-packing window (infer.PoseEstimator) ---
+    pack_win_h: int = 0               # 0 = derive from class geometry:
+    pack_win_w: int = 0               #   CAD bounding-sphere diameter
+    #   projected at pack_z_min_mm (infer.suggest_pack_window); explicit
+    #   values override (pixels, clamped to the frame)
+    pack_z_min_mm: float = 600.0      # nearest expected object depth for
+    #   the derived window (LINEMOD objects sit at 0.6-1.1 m)
     # --- eval ---
     using_ckpts: bool = True          # net inference vs precomputed radial maps
     eval_classes: str = ""            # comma list; "" = all dataset classes
     sem_threshold: float = 0.8        # lm (AccumulatorSpace.py:603); lmo uses 0.5
     icp_iters: int = 30
+    ycb_icp_converged: bool = True    # YCB eval: run ICP to convergence
+    #   (the reference's YCB criteria — max_iteration=2e6 with relative
+    #   fitness/RMSE tolerances 1e-6, AccumulatorSpace.py:1165-1169 —
+    #   where LM/LMO cap at 30). False = fixed icp_iters like LM/LMO.
+    ycb_icp_max_iters: int = 10_000   # cap on the converged YCB ICP loop
+    #   (the reference's 2e6 only means "never stop on iterations";
+    #   measured convergence is <40 iterations — PARITY.md)
+    icp_rel_tol: float = 1e-6         # Open3D-style convergence tolerance
+    #   (absolute per-iteration delta of fitness AND inlier RMSE)
     eval_data_parallel: Optional[bool] = None  # --mode test: shard frames
     #   over the device mesh (net -> vote -> Horn -> ICP -> ADD per frame,
     #   whole program on device). None = auto (on when >1 device); False

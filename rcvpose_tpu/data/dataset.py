@@ -160,13 +160,31 @@ class YcbDataset:
             self._h5.close()
             self._h5 = None
 
+    def _image(self, f, img_id):
+        if "JPEGImages" in f and img_id in f["JPEGImages"]:
+            return np.array(f["JPEGImages"][img_id])
+        return np.array(f[img_id])
+
     def raw(self, index):
         img_id = self.ids[index]
         f = self._file()
         radial = np.array(f[f"3Dradius_pt{self.kpt_num}_dm"][img_id])
-        if "JPEGImages" in f and img_id in f["JPEGImages"]:
-            image = np.array(f["JPEGImages"][img_id])
-        else:
-            image = np.array(f[img_id])
-        return {"image": image, "radial_dm": radial.astype(np.float32),
+        return {"image": self._image(f, img_id),
+                "radial_dm": radial.astype(np.float32),
+                "img_id": img_id}
+
+    def raw_multi(self, index, heads):
+        """Multi-head sample for fused training (``kpt_heads > 1``): the
+        HDF5 already stores one radial map per keypoint
+        (``3Dradius_pt<k>_dm``, reference 3DRadius_ycb.py:200-253) — stack
+        keypoints 1..heads into an (H, W, heads) label. The loader derives
+        per-head semantic maps from it, exactly like the single-head
+        precomputed route."""
+        img_id = self.ids[index]
+        f = self._file()
+        radial = np.stack(
+            [np.array(f[f"3Dradius_pt{k}_dm"][img_id])
+             for k in range(1, heads + 1)], axis=-1)
+        return {"image": self._image(f, img_id),
+                "radial_dm": radial.astype(np.float32),
                 "img_id": img_id}

@@ -71,10 +71,21 @@ class BatchLoader:
 
         has_geometry = hasattr(dataset, "kpt")
         multi = kpt_heads > 1
-        if multi:
-            if not hasattr(dataset, "keypoints"):
-                raise ValueError("kpt_heads > 1 needs a dataset with a "
-                                 "keypoints array (on-the-fly label path)")
+        # Multi-head labels come from either route: on-the-fly generation
+        # (datasets with keypoint geometry — LINEMOD) or stacking the
+        # dataset's per-keypoint precomputed maps (YCB HDF5 stores
+        # 3Dradius_pt1..K_dm already; YcbDataset.raw_multi). So the fused
+        # model (kpt_heads > 1) trains on every dataset the reference
+        # covers.
+        self._multi_precomputed = (multi and not hasattr(dataset, "keypoints")
+                                   and hasattr(dataset, "raw_multi"))
+        if multi and not hasattr(dataset, "keypoints") \
+                and not self._multi_precomputed:
+            raise ValueError(
+                "kpt_heads > 1 needs a dataset with either a keypoints "
+                "array (on-the-fly label route) or per-keypoint "
+                "precomputed maps (raw_multi — the YCB HDF5 route)")
+        if multi and not self._multi_precomputed:
             kpt = jnp.asarray(dataset.keypoints[1:1 + kpt_heads],
                               jnp.float32)               # (K, 3)
             maxr = jnp.asarray(
@@ -87,11 +98,13 @@ class BatchLoader:
         kmat = jnp.asarray(self.k)
         clip = ycb_clip
 
+        multi_otf = multi and not self._multi_precomputed
+
         @jax.jit
         def transform_batch(image, depth, mask, pose):
             def one(img, dep, msk, pse):
                 im = labels.normalize_image(img)
-                if multi:
+                if multi_otf:
                     radial, sem = jax.vmap(
                         lambda kp, mr: labels.radial_labels(
                             dep, msk, pse, kp, kmat, mr, ycb_clip=clip),
@@ -165,7 +178,10 @@ class BatchLoader:
             try:
                 for b in range(start_batch, nb):
                     sel = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    if hasattr(self.ds, "raw_batch"):
+                    if self._multi_precomputed:
+                        samples = [self.ds.raw_multi(int(i), self.kpt_heads)
+                                   for i in sel]
+                    elif hasattr(self.ds, "raw_batch"):
                         samples = self.ds.raw_batch(sel)
                     else:
                         samples = [self.ds.raw(int(i)) for i in sel]

@@ -56,7 +56,14 @@ def rgbd_to_color_point_cloud(k, depth, rgb):
     pixel, in the depth's units (the reference's unused debug helper,
     AccumulatorSpace.py:87-98) — the pinhole math lives once, in
     ``geometry.backproject_dense``; this just gathers the valid pixels
-    and joins the colors."""
+    and joins the colors.
+
+    Two deliberate deviations from the reference helper: the
+    back-projection computes in float32 (not float64 — device math), and
+    the valid set is ``depth > 0`` rather than ``depth.nonzero()``, so
+    negative-depth pixels are excluded. Both are invisible for real
+    mm depth maps (non-negative, and f32 resolves mm exactly at scene
+    scale)."""
     from rcvpose_tpu import geometry
     depth = np.asarray(depth)
     xyz, valid = geometry.backproject_dense(depth.astype(np.float32), k)

@@ -97,15 +97,29 @@ def horn_fit(p1, p2, weights=None):
     return a
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "rel_fitness", "rel_rmse",
+                                   "return_iters"))
 def icp_point_to_point(source, target, target_mask, init, threshold,
-                       max_iters=30):
+                       max_iters=30, rel_fitness=None, rel_rmse=None,
+                       return_iters=False):
     """Point-to-point ICP: align ``source`` onto ``target``.
 
     Mirrors Open3D ``registration_icp(source, target, threshold, init,
-    TransformationEstimationPointToPoint())`` with a fixed iteration count
-    (the reference runs default criteria = 30 iterations,
-    AccumulatorSpace.py:710-715).
+    TransformationEstimationPointToPoint())``. Two modes:
+
+    * ``rel_fitness``/``rel_rmse`` both None (default): a fixed iteration
+      count, ``lax.scan`` over ``max_iters`` steps — the reference's LM/LMO
+      criteria (default max_iteration=30, AccumulatorSpace.py:710-715,
+      940-946).
+    * tolerances set: iterate TO CONVERGENCE under a ``lax.while_loop`` —
+      the reference's YCB criteria (``max_iteration=2_000_000`` with
+      ``relative_fitness=relative_rmse=1e-6``, AccumulatorSpace.py:
+      1165-1169). Matches Open3D's check exactly: stop when the ABSOLUTE
+      per-iteration change of both fitness (inlier fraction of source
+      points) and inlier RMSE drops below the respective tolerance
+      (Open3D's "relative_*" names notwithstanding, its comparison is an
+      absolute delta — pipelines/registration/Registration.cpp), or at
+      ``max_iters``.
 
     Args:
       source: (S, 3) model points (e.g. CAD vertices, mm).
@@ -113,14 +127,19 @@ def icp_point_to_point(source, target, target_mask, init, threshold,
       target_mask: (T,) bool validity of scene points.
       init: (4, 4) initial transform.
       threshold: max correspondence distance (same unit as points).
-      max_iters: fixed iteration count.
+      max_iters: iteration count (fixed mode) or cap (converged mode).
+      rel_fitness / rel_rmse: Open3D-style convergence tolerances.
+      return_iters: converged mode only — also return the iteration count
+        at which the loop stopped (tests/benchmarks).
 
-    Returns: (4, 4) refined transform.
+    Returns: (4, 4) refined transform (plus the iteration count when
+    ``return_iters``).
     """
     source = jnp.asarray(source, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     big = jnp.float32(1e30)
     t2 = jnp.sum(target * target, axis=1)
+    n_src = jnp.float32(source.shape[0])
 
     def nn(src_tf):
         # d2[s, t] via |s|^2 - 2 s.t + |t|^2 (MXU), masked targets excluded
@@ -133,16 +152,55 @@ def icp_point_to_point(source, target, target_mask, init, threshold,
         dmin = jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
         return idx, jnp.sqrt(jnp.maximum(dmin, 0.0))
 
-    def step(rt, _):
+    def one_iter(rt):
+        """One ICP update; also returns this iteration's registration
+        quality (fitness = inlier fraction, inlier RMSE) — the quantities
+        Open3D's convergence criteria watch."""
         src_tf = source @ rt[:3, :3].T + rt[:3, 3]
         idx, dist = nn(src_tf)
         w = (dist <= threshold).astype(jnp.float32)
-        enough = jnp.sum(w) >= 3.0
+        n_corr = jnp.sum(w)
+        enough = n_corr >= 3.0
         corr = target[idx]
         delta = horn_fit(src_tf, corr, weights=w)
         new_rt = jnp.where(enough, delta @ rt, rt)
-        return new_rt, None
+        fitness = n_corr / n_src
+        rmse = jnp.sqrt(jnp.sum(w * dist * dist)
+                        / jnp.maximum(n_corr, 1.0))
+        return new_rt, fitness, rmse
 
-    rt, _ = jax.lax.scan(step, jnp.asarray(init, jnp.float32), None,
-                         length=max_iters)
+    init = jnp.asarray(init, jnp.float32)
+
+    if rel_fitness is None and rel_rmse is None:
+        def step(rt, _):
+            new_rt, _, _ = one_iter(rt)
+            return new_rt, None
+
+        rt, _ = jax.lax.scan(step, init, None, length=max_iters)
+        if return_iters:
+            return rt, jnp.int32(max_iters)
+        return rt
+
+    tol_f = jnp.float32(rel_fitness if rel_fitness is not None else 0.0)
+    tol_r = jnp.float32(rel_rmse if rel_rmse is not None else 0.0)
+
+    def cond(carry):
+        _, _, _, i, done = carry
+        return (~done) & (i < max_iters)
+
+    def body(carry):
+        rt, prev_f, prev_r, i, _ = carry
+        new_rt, fitness, rmse = one_iter(rt)
+        # Open3D: both quality deltas below tolerance -> converged (checked
+        # against the PREVIOUS iteration's quality; the first iteration
+        # compares against sentinel -1 values and can never stop early)
+        done = ((jnp.abs(prev_f - fitness) < tol_f)
+                & (jnp.abs(prev_r - rmse) < tol_r))
+        return new_rt, fitness, rmse, i + 1, done
+
+    carry = (init, jnp.float32(-1.0), jnp.float32(-1.0), jnp.int32(0),
+             jnp.bool_(False))
+    rt, _, _, iters, _ = jax.lax.while_loop(cond, body, carry)
+    if return_iters:
+        return rt, iters
     return rt

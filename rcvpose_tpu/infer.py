@@ -33,10 +33,32 @@ def stack_variables(variables_list):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *variables_list)
 
 
-# Fixed crop window for point packing (pixels). LINEMOD objects at 0.6-1.1 m
-# project to well under this; window truncation is reported via ``cropped``.
+# Legacy fixed crop window for point packing (pixels). LINEMOD objects at
+# 0.6-1.1 m project to well under this; window truncation is reported via
+# ``cropped``. Serving derives a per-class window instead
+# (``suggest_pack_window`` — escalation is an exception path, and a class
+# whose objects always project larger than a fixed window would silently
+# pay the full-frame re-run on EVERY frame); these remain the default for
+# callers that pass no ``win_hw``.
 WIN_H = 256
 WIN_W = 320
+
+
+def suggest_pack_window(cad_mm, k, z_min_mm=600.0, margin=1.2, multiple=32):
+    """Packing window (win_h, win_w) sized to the class geometry: the CAD
+    bounding-sphere diameter projected at the nearest expected depth
+    ``z_min_mm`` through intrinsics ``k``, padded by ``margin`` and rounded
+    up to ``multiple`` (TPU-friendly tile shapes). The grid-size analogue
+    ``ops.voting.suggest_grid_l`` sizes the vote cube the same way."""
+    cad_mm = np.asarray(cad_mm)
+    center = cad_mm.mean(axis=0)
+    diameter = 2.0 * float(np.linalg.norm(cad_mm - center, axis=1).max())
+    k = np.asarray(k)
+    out = []
+    for f in (float(k[1, 1]), float(k[0, 0])):  # rows use fy, cols fx
+        px = diameter / float(z_min_mm) * f * margin
+        out.append(int(-(-max(px, 1.0) // multiple) * multiple))
+    return tuple(out)
 
 
 def _window_origin(any_rows, any_cols, win_h, win_w):
@@ -60,7 +82,7 @@ def _window_origin(any_rows, any_cols, win_h, win_w):
 def _frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
                 gt_kpts_mm, sem_threshold=0.8, n_points=8192, grid_l=192,
                 mode="hier", full_frame=False, topk=None, cpt_stride=None,
-                win=None):
+                win=None, win_hw=None):
     """Full frame: 3-net forward + 3x vote + Horn, one program.
 
     Args:
@@ -93,14 +115,14 @@ def _frame_pose(apply_fn, stacked_vars, image_norm, depth_mm, k, max_radii_dm,
     radial_maps = jnp.stack([m[1] for m in maps])  # (3, H, W)
     return _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
                            gt_kpts_mm, sem_threshold, n_points, grid_l,
-                           mode, full_frame, topk, cpt_stride, win)
+                           mode, full_frame, topk, cpt_stride, win, win_hw)
 
 
 def _frame_pose_fused(apply_fn, variables, image_norm, depth_mm, k,
                       max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                       n_points=8192, grid_l=192, mode="hier",
                       full_frame=False, topk=None, cpt_stride=None,
-                      win=None):
+                      win=None, win_hw=None):
     """Fused multi-head frame: ONE net forward (kpt_heads output pairs)
     replaces the reference's three per-keypoint networks — the TPU-first
     serving extension (config ``kpt_heads=3``). Voting/fit identical to
@@ -110,12 +132,13 @@ def _frame_pose_fused(apply_fn, variables, image_norm, depth_mm, k,
     radial_maps = jnp.moveaxis(radial[0], -1, 0)  # (K, H, W)
     return _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
                            gt_kpts_mm, sem_threshold, n_points, grid_l,
-                           mode, full_frame, topk, cpt_stride, win)
+                           mode, full_frame, topk, cpt_stride, win, win_hw)
 
 
 def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
                     gt_kpts_mm, sem_threshold, n_points, grid_l, mode,
-                    full_frame, topk=None, cpt_stride=None, win=None):
+                    full_frame, topk=None, cpt_stride=None, win=None,
+                    win_hw=None):
     """(K, H, W) sem + radial maps -> pose dict (shared by the 3-net and
     fused paths)."""
     # Crop a fixed window around the union of the three sem masks before
@@ -124,8 +147,9 @@ def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
     # ``full_frame=True`` packs the whole frame (the estimate() fallback for
     # large/near objects whose mask exceeds the window).
     h, w = depth_mm.shape
-    win_h = h if full_frame else min(WIN_H, h)
-    win_w = w if full_frame else min(WIN_W, w)
+    wh, ww = (WIN_H, WIN_W) if win_hw is None else win_hw
+    win_h = h if full_frame else min(wh, h)
+    win_w = w if full_frame else min(ww, w)
     sems = (sem_maps > sem_threshold) & (radial_maps <= max_radii_dm[:, None,
                                                                     None])
     sems = sems & (depth_mm > 0)
@@ -190,7 +214,7 @@ def _pose_from_maps(sem_maps, radial_maps, depth_mm, k, max_radii_dm,
 
 
 _STATIC = ("apply_fn", "n_points", "grid_l", "mode", "sem_threshold",
-           "full_frame", "topk", "cpt_stride", "win")
+           "full_frame", "topk", "cpt_stride", "win", "win_hw")
 
 frame_pose = partial(jax.jit, static_argnames=_STATIC)(_frame_pose)
 frame_pose_fused = partial(jax.jit, static_argnames=_STATIC)(
@@ -222,7 +246,7 @@ def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
                      max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                      n_points=8192, grid_l=192, mode="hier",
                      full_frame=False, topk=None, cpt_stride=None,
-                     win=None):
+                     win=None, win_hw=None):
     """Batched ``frame_pose``: (B, H, W, 3) images + (B, H, W) depths,
     scanned per frame in one program (see ``_scan_frames`` for why nothing
     is actually batched inside). Returns the ``frame_pose`` dict with a
@@ -232,7 +256,7 @@ def frame_pose_batch(apply_fn, stacked_vars, images_norm, depths_mm, k,
             apply_fn, stacked_vars, img, dep, k, max_radii_dm, gt_kpts_mm,
             sem_threshold=sem_threshold, n_points=n_points, grid_l=grid_l,
             mode=mode, full_frame=full_frame, topk=topk,
-            cpt_stride=cpt_stride, win=win)
+            cpt_stride=cpt_stride, win=win, win_hw=win_hw)
     return _scan_frames(one, images_norm, depths_mm)
 
 
@@ -241,14 +265,14 @@ def frame_pose_fused_batch(apply_fn, variables, images_norm, depths_mm, k,
                            max_radii_dm, gt_kpts_mm, sem_threshold=0.8,
                            n_points=8192, grid_l=192, mode="hier",
                            full_frame=False, topk=None, cpt_stride=None,
-                      win=None):
+                           win=None, win_hw=None):
     """Batched fused-path frames (see ``frame_pose_batch``)."""
     def one(img, dep):
         return _frame_pose_fused(
             apply_fn, variables, img, dep, k, max_radii_dm, gt_kpts_mm,
             sem_threshold=sem_threshold, n_points=n_points, grid_l=grid_l,
             mode=mode, full_frame=full_frame, topk=topk,
-            cpt_stride=cpt_stride, win=win)
+            cpt_stride=cpt_stride, win=win, win_hw=win_hw)
     return _scan_frames(one, images_norm, depths_mm)
 
 
@@ -256,11 +280,18 @@ class PoseEstimator:
     """Compile-once, per-frame 6DoF pose estimation for one object class."""
 
     def __init__(self, cfg, variables_list, keypoints, max_radii_dm,
-                 cad_mm=None, k=None):
+                 cad_mm=None, k=None, device=None):
         """``variables_list``: 3 per-keypoint variable trees (reference
         mode, ``cfg.kpt_heads == 1``) or a single multi-head tree
-        (``cfg.kpt_heads > 1`` — one net serves all keypoints)."""
+        (``cfg.kpt_heads > 1`` — one net serves all keypoints).
+
+        ``device``: pin this estimator to one accelerator chip — weights
+        and constants are ``device_put`` there and every ``estimate``
+        executes under ``jax.default_device``, so a multi-chip host can
+        run one replica per chip concurrently (``replicate_to``; the
+        ``PoseServer`` scale-out). None = the process default device."""
         self.cfg = cfg
+        self.device = None
         self.fused = getattr(cfg, "kpt_heads", 1) > 1
         self.model = train_mod.build_model(cfg)
         # Pre-cast weights to the serving compute dtype once: casting the
@@ -282,6 +313,57 @@ class PoseEstimator:
             cad_mm, jnp.float32)
         self.k = jnp.asarray(
             geometry.LINEMOD_K if k is None else k, jnp.float32)
+        # Packing window: explicit config override > derived from class
+        # geometry (CAD bounding-sphere diameter projected at the nearest
+        # expected depth) > legacy fixed 256x320. A class whose objects
+        # project larger than a fixed window would otherwise trip
+        # ``cropped`` on EVERY frame and silently pay the full-frame
+        # re-run as a steady state (escalation is designed as an
+        # exception path).
+        ph = int(getattr(cfg, "pack_win_h", 0) or 0)
+        pw = int(getattr(cfg, "pack_win_w", 0) or 0)
+        if ph > 0 and pw > 0:
+            self.win_hw = (ph, pw)
+        elif cad_mm is not None:
+            self.win_hw = suggest_pack_window(
+                np.asarray(cad_mm), np.asarray(self.k),
+                z_min_mm=float(getattr(cfg, "pack_z_min_mm", 600.0)))
+        else:
+            self.win_hw = None  # legacy WIN_H/WIN_W
+        if device is not None:
+            self._move_to(device)
+
+    def _move_to(self, device):
+        """``device_put`` every constant this estimator closes over onto
+        ``device`` and pin execution there."""
+        put = lambda t: jax.device_put(t, device)  # noqa: E731
+        self.stacked = jax.tree.map(put, self.stacked)
+        self.gt_kpts_mm = put(self.gt_kpts_mm)
+        self.max_radii = put(self.max_radii)
+        if self.cad_mm is not None:
+            self.cad_mm = put(self.cad_mm)
+        self.k = put(self.k)
+        self.device = device
+
+    def replicate_to(self, device):
+        """A replica of this estimator pinned to ``device``: the weights
+        are copied to that chip (HBM cost: one model copy) and its
+        ``estimate`` runs there — replicas on distinct chips execute
+        concurrently. The config/model objects are shared; nothing is
+        re-read from disk."""
+        import copy
+
+        new = copy.copy(self)
+        new._move_to(device)
+        return new
+
+    def _device_ctx(self):
+        import contextlib
+
+        if self.device is None:
+            return contextlib.nullcontext()
+        # thread-local: concurrent server threads each pin their own chip
+        return jax.default_device(self.device)
 
     def _escalate(self, run, image_pixels):
         """Run a frame program and escalate its fallbacks until nothing is
@@ -322,21 +404,24 @@ class PoseEstimator:
         the union mask exceeded the point budget (``budget_exceeded``) it
         re-runs with a doubled budget (see ``_escalate``).
         """
-        image_norm = labels.normalize_image(jnp.asarray(image_u8))
-        pose_fn = frame_pose_fused if self.fused else frame_pose
+        with self._device_ctx():
+            image_norm = labels.normalize_image(jnp.asarray(image_u8))
+            pose_fn = frame_pose_fused if self.fused else frame_pose
 
-        def run(full_frame, n_points):
-            return pose_fn(
-                self.model.apply, self.stacked, image_norm,
-                jnp.asarray(depth_mm, jnp.float32), self.k, self.max_radii,
-                self.gt_kpts_mm, sem_threshold=self.cfg.sem_threshold,
-                n_points=n_points, grid_l=self.cfg.vote_grid_l,
-                mode=self.cfg.vote_mode, full_frame=full_frame,
-                topk=getattr(self.cfg, "vote_topk", None),
-                cpt_stride=getattr(self.cfg, "vote_cpt_stride", None),
-                win=getattr(self.cfg, "vote_win", None))
+            def run(full_frame, n_points):
+                return pose_fn(
+                    self.model.apply, self.stacked, image_norm,
+                    jnp.asarray(depth_mm, jnp.float32), self.k,
+                    self.max_radii, self.gt_kpts_mm,
+                    sem_threshold=self.cfg.sem_threshold,
+                    n_points=n_points, grid_l=self.cfg.vote_grid_l,
+                    mode=self.cfg.vote_mode, full_frame=full_frame,
+                    topk=getattr(self.cfg, "vote_topk", None),
+                    cpt_stride=getattr(self.cfg, "vote_cpt_stride", None),
+                    win=getattr(self.cfg, "vote_win", None),
+                    win_hw=self.win_hw)
 
-        return self._escalate(run, int(np.prod(np.shape(depth_mm))))
+            return self._escalate(run, int(np.prod(np.shape(depth_mm))))
 
     def estimate_batch(self, images_u8, depths_mm):
         """Batched estimate: (B, H, W, 3) uint8 images + (B, H, W) mm depths
@@ -356,19 +441,22 @@ class PoseEstimator:
         vote and ICP ignores them)."""
         imgs_np = np.asarray(images_u8)
         deps_np = np.asarray(depths_mm, np.float32)
-        imgs = jax.vmap(labels.normalize_image)(jnp.asarray(imgs_np))
-        deps = jnp.asarray(deps_np)
+        with self._device_ctx():
+            imgs = jax.vmap(labels.normalize_image)(jnp.asarray(imgs_np))
+            deps = jnp.asarray(deps_np)
         batch_fn = frame_pose_fused_batch if self.fused else frame_pose_batch
 
-        result = batch_fn(
-            self.model.apply, self.stacked, imgs, deps, self.k,
-            self.max_radii, self.gt_kpts_mm,
-            sem_threshold=self.cfg.sem_threshold,
-            n_points=self.cfg.max_points, grid_l=self.cfg.vote_grid_l,
-            mode=self.cfg.vote_mode, full_frame=False,
-            topk=getattr(self.cfg, "vote_topk", None),
-            cpt_stride=getattr(self.cfg, "vote_cpt_stride", None),
-            win=getattr(self.cfg, "vote_win", None))
+        with self._device_ctx():
+            result = batch_fn(
+                self.model.apply, self.stacked, imgs, deps, self.k,
+                self.max_radii, self.gt_kpts_mm,
+                sem_threshold=self.cfg.sem_threshold,
+                n_points=self.cfg.max_points, grid_l=self.cfg.vote_grid_l,
+                mode=self.cfg.vote_mode, full_frame=False,
+                topk=getattr(self.cfg, "vote_topk", None),
+                cpt_stride=getattr(self.cfg, "vote_cpt_stride", None),
+                win=getattr(self.cfg, "vote_win", None),
+                win_hw=self.win_hw)
 
         # one host fetch of the packed (B, 3) [cropped, budget, union] flags
         esc = np.asarray(result["escalate"]).reshape(-1, 3)
@@ -400,7 +488,8 @@ class PoseEstimator:
             # device arrays like the no-escalation return: the result type
             # must not depend on whether a frame tripped escalation (one
             # H2D on this rare path instead of surprise host numpy leaves)
-            out[key] = jnp.asarray(np.stack(rows))
+            with self._device_ctx():
+                out[key] = jnp.asarray(np.stack(rows))
         return out
 
     def refine(self, result, threshold_mm, icp_iters=None):
@@ -408,8 +497,9 @@ class PoseEstimator:
         (constructor ``cad_mm``) to the frame's own masked scene cloud."""
         if self.cad_mm is None:
             raise ValueError("PoseEstimator needs cad_mm for ICP refinement")
-        scene = result["scene_pts"].reshape(-1, 3)
-        mask = result["scene_mask"].reshape(-1)
-        return fit.icp_point_to_point(
-            self.cad_mm, scene, mask, result["rt"], threshold_mm,
-            max_iters=icp_iters or self.cfg.icp_iters)
+        with self._device_ctx():
+            scene = result["scene_pts"].reshape(-1, 3)
+            mask = result["scene_mask"].reshape(-1)
+            return fit.icp_point_to_point(
+                self.cad_mm, scene, mask, result["rt"], threshold_mm,
+                max_iters=icp_iters or self.cfg.icp_iters)

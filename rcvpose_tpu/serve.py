@@ -22,12 +22,13 @@ many requests per connection, FIFO):
     ping  -> {"ok": true, "pong": true}
     pose  -> {"ok": true, "rt": [[..]x4] (mm), "centers": [[..]x3] (mm),
               "counts": [..], "overflow": [..], "ms": float,
-              "icp_applied": bool}
+              "icp_applied": bool, "device": int}
     error -> {"ok": false, "error": "..."}  (connection stays usable)
 
-One accelerator chip executes serially, so requests are serialized with a
-lock rather than sharded across worker threads; multiple clients can stay
-connected and interleave.
+Each chip executes serially (one execution lock per device); concurrent
+requests dispatch round-robin across every local chip via per-device
+estimator replicas (see ``PoseServer`` — the multi-chip scale-out), and
+``device`` in the reply says which chip served the request.
 """
 
 from __future__ import annotations
@@ -77,6 +78,16 @@ def _recv_json(sock, limit=_MAX_HEADER):
 # Server
 # ---------------------------------------------------------------------------
 
+class _Pool:
+    """One class's estimator replicas, indexed by device slot."""
+
+    __slots__ = ("replicas", "building")
+
+    def __init__(self, base):
+        self.replicas = {0: base}   # device index -> PoseEstimator
+        self.building = False       # a background replica build is running
+
+
 class PoseServer:
     """Serve one or many classes' ``PoseEstimator``s over TCP.
 
@@ -87,12 +98,30 @@ class PoseServer:
     pass ``estimator_factory(class_name) -> PoseEstimator`` and pose
     requests may carry ``"class_name"`` — estimators are built lazily on
     first use and cached for the server's lifetime. Cold-class builds and
-    first-compiles run OUTSIDE the chip execution lock, under a per-class
+    first-compiles run OUTSIDE the chip execution locks, under a per-class
     build lock: a cold class's first request pays its own checkpoint load
     + compile (minutes on a cold cache), but concurrent traffic for
     already-warm classes keeps flowing — only the millisecond-scale device
     executions serialize. ``warm_classes`` pre-builds a class list before
     the socket opens (the ``--serve_classes`` CLI flag).
+
+    **Multi-chip dispatch.** ``devices`` (default: every local device)
+    is the scale-out set — the deployment analogue of the reference's one
+    parallelism primitive, "use all local GPUs"
+    (torch.nn.DataParallel, /root/reference/train.py:31-34). Execution
+    serializes per CHIP (one ``threading.Lock`` per device, shared by all
+    classes), not globally: concurrent requests dispatch round-robin to
+    free chips, each served by a per-device ``PoseEstimator`` replica
+    (weights ``device_put`` per chip — ``PoseEstimator.replicate_to``).
+    Replicas beyond device 0 are built LAZILY, in a background thread, the
+    first time every built replica of a class is busy at once — a
+    single-stream client never pays the extra per-device compiles, and a
+    loaded server grows to all chips without stalling the triggering
+    request (it blocks on a busy chip exactly as a one-chip server would
+    have). ``expand_to`` pre-builds replicas synchronously (deployment
+    startup; the ``--serve_devices`` flag). Escalation semantics are
+    per-request and unchanged: each replica re-runs its own frame at
+    full-frame packing / doubled point budget when flagged.
 
     When passing both ``estimator`` and ``estimator_factory``, also pass
     ``class_name`` (the default estimator's class): without it, a request
@@ -106,16 +135,31 @@ class PoseServer:
     """
 
     def __init__(self, estimator=None, warmup_hw=None,
-                 estimator_factory=None, class_name=None):
+                 estimator_factory=None, class_name=None, devices=None):
         import jax
         self._jax = jax
+        if devices is not None:
+            self._devices = list(devices)
+            # pin the base estimator to the explicit first device (an
+            # explicit subset may not start at the process default device)
+            if estimator is not None and estimator.device is None:
+                estimator = estimator.replicate_to(self._devices[0])
+        else:
+            self._devices = list(jax.local_devices())
         self.estimator = estimator
         self._factory = estimator_factory
-        self._estimators = {}
-        if estimator is not None and class_name is not None:
-            self._estimators[class_name] = estimator
-        self._lock = threading.Lock()  # one chip: serialize EXECUTION only
-        self._reg_lock = threading.Lock()   # estimator cache + build locks
+        self._pools = {}                    # class_name -> _Pool
+        self._default_pool = None           # pool for class_name=None
+        if estimator is not None:
+            self._default_pool = _Pool(estimator)
+            if class_name is not None:
+                self._pools[class_name] = self._default_pool
+        # one EXECUTION lock per chip, shared across classes (a chip runs
+        # one program at a time no matter which class owns it)
+        self._dev_locks = [threading.Lock() for _ in self._devices]
+        self._rr = 0                        # round-robin dispatch cursor
+        self._rr_lock = threading.Lock()
+        self._reg_lock = threading.Lock()   # pool cache + build locks
         self._build_locks = {}              # class_name -> threading.Lock
         self._warmup_hw = warmup_hw
         self._server = None
@@ -140,26 +184,26 @@ class PoseServer:
         """Eagerly build + compile estimators for ``class_names`` (the
         ``--serve_classes`` warmup, run before the socket opens)."""
         for name in class_names:
-            self._estimator_for(name, hw=hw or self._warmup_hw)
+            self._pool_for(name, hw=hw or self._warmup_hw)
 
-    def _estimator_for(self, class_name, hw=None):
-        """Resolve a pose request's estimator.
+    def _pool_for(self, class_name, hw=None):
+        """Resolve a pose request's replica pool.
 
-        Called WITHOUT the execution lock: a cold class's checkpoint load
+        Called WITHOUT any execution lock: a cold class's checkpoint load
         and first compile must not stall other classes' traffic
         (first-compile is minutes; execution is milliseconds). The
         per-class build lock makes concurrent first requests for the same
         class build it once; ``hw`` warms the frame program at that shape
-        before the estimator is published to the cache."""
+        before the pool is published to the cache."""
         if class_name is None:
-            if self.estimator is None:
+            if self._default_pool is None:
                 raise ValueError(
                     "server has no default estimator; pose requests must "
                     "carry a class_name")
-            return self.estimator
-        est = self._estimators.get(class_name)
-        if est is not None:
-            return est
+            return self._default_pool
+        pool = self._pools.get(class_name)
+        if pool is not None:
+            return pool
         if self._factory is None:
             raise ValueError(
                 f"server hosts a single class and no estimator factory; "
@@ -168,17 +212,96 @@ class PoseServer:
             build_lock = self._build_locks.setdefault(class_name,
                                                       threading.Lock())
         with build_lock:
-            est = self._estimators.get(class_name)
-            if est is not None:  # built while we waited
-                return est
+            pool = self._pools.get(class_name)
+            if pool is not None:  # built while we waited
+                return pool
             est = self._factory(class_name)
+            if est.device is None:
+                est = est.replicate_to(self._devices[0])
             if hw is not None:
                 # compile-then-swap: the trace + XLA compile happens here,
-                # off the execution lock; its single warmup execution
+                # off the execution locks; its single warmup execution
                 # interleaves with locked traffic at ms cost
                 self._warm_estimator(est, hw)
-            self._estimators[class_name] = est
-        return est
+            pool = _Pool(est)
+            self._pools[class_name] = pool
+        return pool
+
+    # -- multi-chip replica dispatch -----------------------------------------
+
+    def n_replicas(self, class_name=None):
+        """Built replica count for a class (tests/ops introspection)."""
+        pool = (self._default_pool if class_name is None
+                else self._pools.get(class_name))
+        return 0 if pool is None else len(pool.replicas)
+
+    def expand_to(self, n_devices=None, class_name=None, hw=None):
+        """Synchronously build + warm replicas of ``class_name`` on the
+        first ``n_devices`` chips (None/0 = all). Deployment startup path
+        (``--serve_devices``); per-device compiles are disk loads when
+        ``--compile_cache_dir`` is set. Returns the replica count."""
+        pool = self._pool_for(class_name, hw=hw or self._warmup_hw)
+        n = len(self._devices) if not n_devices else min(
+            int(n_devices), len(self._devices))
+        for i in range(n):
+            self._build_replica(pool, i, hw or self._warmup_hw)
+        return len(pool.replicas)
+
+    def _build_replica(self, pool, i, hw):
+        """Build (and optionally warm) pool replica ``i``; idempotent."""
+        with self._reg_lock:
+            if i in pool.replicas:
+                return
+            base = pool.replicas[min(pool.replicas)]
+            est = base.replicate_to(self._devices[i])
+            # publish only after warm: dispatch must never block a request
+            # on another request's compile
+        if hw is not None:
+            self._warm_estimator(est, hw)
+        with self._reg_lock:
+            pool.replicas.setdefault(i, est)
+
+    def _maybe_grow(self, pool, hw):
+        """Every built replica of this class is busy: build one more, on
+        the next unused chip, in the background (at most one build in
+        flight per pool). The triggering request does NOT wait — it
+        blocks on a busy chip exactly like a one-chip server; requests
+        after the build lands spread onto the new chip."""
+        with self._reg_lock:
+            if pool.building or len(pool.replicas) >= len(self._devices):
+                return
+            try:
+                i = next(j for j in range(len(self._devices))
+                         if j not in pool.replicas)
+            except StopIteration:
+                return
+            pool.building = True
+
+        def build():
+            try:
+                self._build_replica(pool, i, hw)
+            finally:
+                pool.building = False
+
+        threading.Thread(target=build, daemon=True).start()
+
+    def _acquire_replica(self, pool, hw):
+        """Pick a replica whose chip is free (round-robin over built
+        replicas); if every one is busy, trigger background growth and
+        block on the round-robin chip. Returns (device_index, estimator)
+        with that chip's execution lock HELD."""
+        with self._rr_lock:
+            start = self._rr
+            self._rr += 1
+        built = sorted(pool.replicas)
+        for j in range(len(built)):
+            i = built[(start + j) % len(built)]
+            if self._dev_locks[i].acquire(blocking=False):
+                return i, pool.replicas[i]
+        self._maybe_grow(pool, hw)
+        i = built[start % len(built)]
+        self._dev_locks[i].acquire()
+        return i, pool.replicas[i]
 
     def _handle_pose(self, header, payload):
         h, w = int(header["h"]), int(header["w"])
@@ -196,9 +319,11 @@ class PoseServer:
         class_name = header.get("class_name")
 
         t0 = time.perf_counter()
-        # cold-class build + compile happens OUTSIDE the execution lock
-        est = self._estimator_for(class_name, hw=(h, w))
-        with self._lock:
+        # cold-class build + compile happens OUTSIDE the execution locks
+        pool = self._pool_for(class_name, hw=(h, w))
+        # round-robin onto a free chip; holds that chip's execution lock
+        dev_i, est = self._acquire_replica(pool, hw=(h, w))
+        try:
             result = est.estimate(image, depth)
             rt = result["rt"]
             icp_applied = False
@@ -218,6 +343,8 @@ class PoseServer:
             rt, centers, counts, overflow = self._jax.device_get(
                 (rt, result["centers"], result["counts"],
                  result["overflow"]))
+        finally:
+            self._dev_locks[dev_i].release()
         ms = (time.perf_counter() - t0) * 1e3
         reply = {
             "ok": True,
@@ -227,6 +354,7 @@ class PoseServer:
             "overflow": np.asarray(overflow).astype(bool).tolist(),
             "ms": round(ms, 3),
             "icp_applied": icp_applied,
+            "device": dev_i,
         }
         if class_name is not None:
             reply["class_name"] = class_name
@@ -394,6 +522,14 @@ def run_serve(cfg):
     server = PoseServer(
         est, warmup_hw=warm, class_name=cfg.class_name,
         estimator_factory=lambda cname: build_lm_estimator(cfg, cname))
+    # --serve_devices N: pre-build the default class's replicas on the
+    # first N chips (0 = lazy growth only — replicas still appear in the
+    # background the first time every built one is busy at once). Other
+    # classes always grow lazily under load.
+    n_pre = int(getattr(cfg, "serve_devices", 1) or 0)
+    if n_pre > 1:
+        n = server.expand_to(n_pre, class_name=cfg.class_name, hw=warm)
+        print(f"serving {cfg.class_name} on {n} devices", flush=True)
     eager = [c.strip() for c in getattr(cfg, "serve_classes", "").split(",")
              if c.strip() and c.strip() != cfg.class_name]
     if eager:

@@ -229,6 +229,17 @@ class Trainer:
             batches, skip = self.train_batches(epoch, skip), 0
         else:
             batches = self.train_batches(epoch)
+        # Metrics are fetched (one host sync) every ``log_interval`` steps
+        # instead of every step: ``float(m["loss"])`` blocks on the step's
+        # completion, so a per-step fetch serializes the host against the
+        # device and forfeits the loader's double-buffering overlap
+        # (measured delta in PERF.md "Train-loop host syncs"). The NaN
+        # guard consequently samples at the same cadence — a NaN raises at
+        # most ``log_interval - 1`` steps late (and always before the
+        # epoch ends; the final pending metrics are flushed below). The
+        # un-fetched intermediate metrics are never transferred at all.
+        interval = max(getattr(self.cfg, "log_interval", 1) or 1, 1)
+        pending = None
         for batch in batches:
             if skip > 0:
                 skip -= 1
@@ -236,19 +247,26 @@ class Trainer:
             batch = parallel.shard_batch(self.mesh, batch)
             self.state, m = self._train_step(self.state, batch)
             self.iteration += 1
-            loss = float(m["loss"])
-            if loss != loss:  # NaN guard (reference train.py:161-162)
-                raise ValueError("loss is nan while training")
-            if self.writer is not None:
-                self.writer.add_scalar("Train_sum", loss, self.iteration)
-                self.writer.add_scalar("Train_r", float(m["loss_r"]),
-                                       self.iteration)
-                self.writer.add_scalar("Train_s", float(m["loss_s"]),
-                                       self.iteration)
-                self.writer.add_scalar("Train_ACC", float(m["acc"]),
-                                       self.iteration)
+            pending = (self.iteration, m)
+            if self.iteration % interval == 0:
+                self._fetch_train_metrics(*pending)
+                pending = None
             if self.iteration >= self.cfg.max_iterations:
                 break
+        if pending is not None:
+            self._fetch_train_metrics(*pending)
+
+    def _fetch_train_metrics(self, iteration, m):
+        """Host-fetch one step's metrics: NaN guard (reference
+        train.py:161-162) + TB scalars (reference tags, train.py:166-171)."""
+        loss = float(m["loss"])
+        if loss != loss:
+            raise ValueError("loss is nan while training")
+        if self.writer is not None:
+            self.writer.add_scalar("Train_sum", loss, iteration)
+            self.writer.add_scalar("Train_r", float(m["loss_r"]), iteration)
+            self.writer.add_scalar("Train_s", float(m["loss_s"]), iteration)
+            self.writer.add_scalar("Train_ACC", float(m["acc"]), iteration)
 
     def validate(self, epoch):
         total, n = 0.0, 0
@@ -312,4 +330,9 @@ class Trainer:
                 self.validate(epoch)
             if done:
                 break
+        # checkpoint writes are async (orbax AsyncCheckpointer); nothing
+        # may still be streaming to disk when the run returns
+        if self.checkpointer is not None and hasattr(self.checkpointer,
+                                                     "wait_until_finished"):
+            self.checkpointer.wait_until_finished()
         return self.state

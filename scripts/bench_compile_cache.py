@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -112,19 +113,26 @@ def main():
 
     cache_dir = tempfile.mkdtemp(prefix="rcvpose_cc_")
     runs = []
-    for tag in ("cold_cache", "warm_cache"):
-        cmd = [sys.executable, os.path.abspath(__file__), "--child",
-               "--cache_dir", cache_dir] + (["--small"] if args.small else [])
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=3600)
-        if out.returncode != 0:
-            sys.stderr.write(out.stderr)
-            raise SystemExit(f"{tag} child failed ({out.returncode})")
-        rec = json.loads(out.stdout.strip().splitlines()[-1])
-        rec["tag"] = tag
-        runs.append(rec)
-        print(f"{tag}: frame-program compile {rec['compile_s']:.1f} s "
-              f"(trace/lower {rec['lower_s']:.1f} s)", file=sys.stderr)
+    try:
+        for tag in ("cold_cache", "warm_cache"):
+            cmd = ([sys.executable, os.path.abspath(__file__), "--child",
+                    "--cache_dir", cache_dir]
+                   + (["--small"] if args.small else []))
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=3600)
+            if out.returncode != 0:
+                sys.stderr.write(out.stderr)
+                raise SystemExit(f"{tag} child failed ({out.returncode})")
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            rec["tag"] = tag
+            runs.append(rec)
+            print(f"{tag}: frame-program compile {rec['compile_s']:.1f} s "
+                  f"(trace/lower {rec['lower_s']:.1f} s)", file=sys.stderr)
+        cache_entries = len(os.listdir(cache_dir))
+    finally:
+        # the serialized frame executable is ~26 MB+ on TPU; don't strand
+        # one per run in /tmp
+        shutil.rmtree(cache_dir, ignore_errors=True)
 
     cold, warm = runs
     print(json.dumps({
@@ -136,7 +144,7 @@ def main():
                          1),
         "lower_s": round(warm["lower_s"], 2),
         "backend": warm["backend"],
-        "cache_entries": len(os.listdir(cache_dir)),
+        "cache_entries": cache_entries,
         "note": ("AOT lower+compile of the full-size serving frame program "
                  "in a fresh process against the same persistent cache "
                  "dir: cold = populates it (one real XLA compile), warm = "

@@ -96,6 +96,11 @@ def main():
                     help="vote point budget override")
     ap.add_argument("--image_hw", default=None,
                     help="override the frame size, e.g. '128,160'")
+    ap.add_argument("--icp_compare", action="store_true",
+                    help="also run the evaluator with fixed-30 ICP and "
+                         "report the converged-vs-fixed AUC delta "
+                         "(the reference YCB convergence criteria, "
+                         "AccumulatorSpace.py:1165-1169; PARITY.md)")
     ap.add_argument("--out", default="logs/e2e_ycb")
     args = ap.parse_args()
     args.out = os.path.abspath(args.out)
@@ -166,6 +171,25 @@ def main():
                                             progress=lambda s: print(
                                                 s, file=sys.stderr))
     res = results["all"]
+    icp_cmp = None
+    if args.icp_compare:
+        # converged (the default, = reference AccumulatorSpace.py:1165-1169
+        # tolerance semantics) vs fixed-30 (the LM/LMO criteria): the AUC
+        # delta quantifies what the convergence criteria are worth on this
+        # fixture (PARITY.md "YCB ICP criteria")
+        import dataclasses
+
+        fixed_cfg = dataclasses.replace(eval_cfg, ycb_icp_converged=False,
+                                        icp_iters=30)
+        fixed = eval_mod.estimate_6d_pose_ycb(
+            fixed_cfg, class_ids=[class_id],
+            progress=lambda s: None)["all"]
+        icp_cmp = {
+            "converged_auc_af": round(float(res["adds_auc_after_icp"]), 4),
+            "fixed30_auc_af": round(float(fixed["adds_auc_after_icp"]), 4),
+            "auc_delta": round(float(res["adds_auc_after_icp"]
+                                     - fixed["adds_auc_after_icp"]), 4),
+        }
     record = {
         "metric": "e2e_ycb_adds_auc_after_icp",
         "value": round(float(res["adds_auc_after_icp"]), 4),
@@ -179,6 +203,8 @@ def main():
         "model": "DenseFCNResNet152 fused multi-head"
                  + (" (tiny)" if small else " (full 3/8/36/3)"),
     }
+    if icp_cmp is not None:
+        record["icp_criteria_compare"] = icp_cmp
     print(json.dumps(record))
     # --small is a plumbing smoke (2-step tiny net learns nothing): assert
     # the evaluator consumed every frame; the TPU run asserts real accuracy

@@ -136,3 +136,68 @@ def test_orbax_variables_accepts_relative_path(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     variables = eval_mod._orbax_variables(os.path.join("ckpts", "ape_pt1"))
     assert "params" in variables and "batch_stats" in variables
+
+
+def test_ycb_fused_train_to_eval_roundtrip(tmp_path, rng):
+    """The flagship fused mode (kpt_heads=3) trains on YCB: BatchLoader
+    stacks the HDF5's per-keypoint 3Dradius_pt1..K_dm datasets into
+    (H, W, K) labels (YcbDataset.raw_multi — reference layout
+    3DRadius_ycb.py:200-253), the production Trainer takes real steps on
+    them, the orbax checkpoint lands where --mode test looks for fused
+    checkpoints, and estimate_6d_pose_ycb evaluates it end to end
+    (the round-3/4 gap: fused training was LINEMOD-only)."""
+    from rcvpose_tpu import geometry, parallel
+    from rcvpose_tpu import eval as eval_mod
+    from rcvpose_tpu import train as train_mod
+    from rcvpose_tpu.checkpoint import Checkpointer
+    from rcvpose_tpu.data.dataset import YcbDataset
+    from rcvpose_tpu.data.loader import BatchLoader
+    from tests.test_eval_lmo_ycb_format import make_ycb_eval_tree
+
+    root = tmp_path
+    class_id, class_name = make_ycb_eval_tree(root, rng, n_frames=2,
+                                              h=128, w=160)
+    model_dir = str(tmp_path / "trained")
+
+    cfg = Config(root_dataset=str(root), dataset="ycb", using_ckpts=True,
+                 model_dir=model_dir, class_name=class_name,
+                 model_blocks="1,1,1,1", model_width=0.125,
+                 compute_dtype="float32", kpt_heads=3,
+                 image_height=128, image_width=160, vote_grid_l=96,
+                 max_points=2048, vote_mode="hier", icp_iters=5,
+                 batch_size=2, eval_data_parallel=False)
+
+    # real loader over the real HDF5: multi-head labels from the
+    # precomputed per-keypoint datasets
+    ds = YcbDataset(str(root), class_name, split="val")
+    loader = BatchLoader(ds, geometry.LINEMOD_K, batch_size=2,
+                         shuffle=False, ycb_clip=True, kpt_heads=3)
+    batch = next(iter(loader))
+    assert batch["radial"].shape == (2, 128, 160, 3)
+    assert batch["sem"].shape == (2, 128, 160, 3)
+    # head k carries keypoint k's radial map (clip included)
+    raw = ds.raw_multi(0, 3)
+    want = np.where(raw["radial_dm"] >= 10.0, 0.0, raw["radial_dm"])
+    np.testing.assert_allclose(np.asarray(batch["radial"][0]), want,
+                               atol=1e-6)
+
+    # two real optimizer steps through the parallel train step
+    state = train_mod.create_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=1,
+        sample_shape=(1, 128, 160, 3))
+    mesh = parallel.data_mesh(2)
+    p_train, _ = train_mod.make_parallel_steps(mesh)
+    for batch in loader.batches(epoch=0):
+        sharded = parallel.shard_batch(mesh, batch)
+        state, m = p_train(state, sharded)
+        assert np.isfinite(float(m["loss"]))
+    Checkpointer(os.path.join(model_dir, class_name)).save(
+        state, epoch=0, iteration=1, best_val=float(m["loss"]),
+        is_best=True)
+
+    results = eval_mod.estimate_6d_pose_ycb(cfg, class_ids=[class_id],
+                                            progress=lambda *_: None)
+    res = results["all"]
+    assert res["frames"] == 2
+    assert np.isfinite(res["adds_auc_before_icp"])
+    assert np.isfinite(res["adds_auc_after_icp"])

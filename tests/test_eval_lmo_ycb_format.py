@@ -191,9 +191,18 @@ def make_ycb_eval_tree(root, rng, n_frames=1, h=120, w=160):
             for kp, radial in enumerate(_radials(depth_seen, rot, t, k), 1):
                 np.save(os.path.join(root, "exact_radials",
                                      f"{cycle}_{idx}_pt{kp}.npy"), radial)
+                # the per-keypoint radial datasets the TRAINING path reads
+                # (reference 3DRadius_ycb.py:200-253) — makes the fixture
+                # tree trainable (YcbDataset / fused kpt_heads > 1)
+                f.create_dataset(f"3Dradius_pt{kp}_dm/{cycle}_{idx}",
+                                 data=radial, compression="gzip")
             ids.append(f"{cycle}_{idx}")
+    split = "\n".join(ids) + "\n"
     with open(os.path.join(root, "Split", class_name, "val.txt"), "w") as f:
-        f.write("\n".join(ids) + "\n")
+        f.write(split)  # eval layout (AccumulatorSpace.py:996-1001)
+    os.makedirs(os.path.join(root, class_name, "Split"), exist_ok=True)
+    with open(os.path.join(root, class_name, "Split", "val.txt"), "w") as f:
+        f.write(split)  # training layout (rmap_dataset.py:31-38)
     return class_id, class_name
 
 
@@ -294,3 +303,18 @@ def test_dataset_evals_default_to_saturated_vote_topk():
 
     cfg2 = Config(vote_topk=16)
     assert _dataset_eval_cfg(cfg2) is cfg2
+
+
+def test_ycb_icp_criteria_default_converged():
+    """The YCB evaluator defaults to the reference's converge-to-tolerance
+    ICP criteria (AccumulatorSpace.py:1165-1169: max_iteration=2e6 +
+    relative fitness/RMSE 1e-6), capped; --no_ycb_icp_converged falls back
+    to the fixed LM/LMO-style count."""
+    from rcvpose_tpu.config import Config
+    from rcvpose_tpu.eval import _ycb_icp_kw
+
+    kw = _ycb_icp_kw(Config())
+    assert kw == {"icp_iters": 10_000, "rel_fitness": 1e-6,
+                  "rel_rmse": 1e-6}
+    kw_off = _ycb_icp_kw(Config(ycb_icp_converged=False, icp_iters=30))
+    assert kw_off == {"icp_iters": 30}

@@ -113,3 +113,66 @@ def test_icp_respects_target_mask(rng):
     est = model @ out[:3, :3].T + out[:3, 3]
     err = np.linalg.norm(est - scene, axis=1).mean()
     assert err < 1e-3
+
+
+def test_icp_converged_mode_matches_fixed_at_convergence(rng):
+    """Converge-to-tolerance ICP (the YCB criteria, AccumulatorSpace.py:
+    1165-1169) lands on the same pose as a long fixed-iteration run."""
+    rt = random_pose(rng)
+    model = rng.normal(size=(200, 3)) * 0.05
+    scene = model @ rt[:3, :3].T + rt[:3, 3]
+    init = np.eye(4)
+    init[:3, :3] = rt[:3, :3]
+    init[:3, 3] = rt[:3, 3] + 0.02
+    mask = jnp.ones(scene.shape[0], bool)
+    args = (jnp.asarray(model, jnp.float32), jnp.asarray(scene, jnp.float32),
+            mask, jnp.asarray(init, jnp.float32))
+    fixed = np.asarray(fit.icp_point_to_point(*args, threshold=0.1,
+                                              max_iters=100))
+    conv, iters = fit.icp_point_to_point(
+        *args, threshold=0.1, max_iters=10_000, rel_fitness=1e-6,
+        rel_rmse=1e-6, return_iters=True)
+    conv = np.asarray(conv)
+    np.testing.assert_allclose(conv, fixed, atol=1e-4)
+    # and it actually STOPPED on tolerance, far below the cap
+    assert 1 < int(iters) < 100, f"converged at iteration {int(iters)}"
+
+
+def test_icp_converged_stops_early_on_clean_data(rng):
+    """A perfectly-initialized fit converges in a couple of iterations
+    (fitness and RMSE deltas hit zero immediately)."""
+    rt = random_pose(rng)
+    model = rng.normal(size=(100, 3)) * 0.05
+    scene = model @ rt[:3, :3].T + rt[:3, 3]
+    mask = jnp.ones(scene.shape[0], bool)
+    init = np.eye(4)
+    init[:3, :3] = rt[:3, :3]
+    init[:3, 3] = rt[:3, 3]
+    out, iters = fit.icp_point_to_point(
+        jnp.asarray(model, jnp.float32), jnp.asarray(scene, jnp.float32),
+        mask, jnp.asarray(init, jnp.float32), threshold=0.1,
+        max_iters=10_000, rel_fitness=1e-6, rel_rmse=1e-6,
+        return_iters=True)
+    est = model @ np.asarray(out)[:3, :3].T + np.asarray(out)[:3, 3]
+    err = np.linalg.norm(est - scene, axis=1).mean()
+    assert err < 1e-4
+    assert int(iters) <= 3
+
+
+def test_icp_converged_respects_cap(rng):
+    """With an impossible tolerance (0 exact-equality deltas are still
+    possible, so use a cap of 5) the loop stops at max_iters."""
+    rt = random_pose(rng)
+    model = rng.normal(size=(100, 3)) * 0.05
+    scene = model @ rt[:3, :3].T + rt[:3, 3] + rng.normal(
+        size=(100, 3)) * 0.01  # noise: quality keeps jittering
+    mask = jnp.ones(scene.shape[0], bool)
+    init = np.eye(4)
+    init[:3, :3] = rt[:3, :3]
+    init[:3, 3] = rt[:3, 3] + 0.03
+    _, iters = fit.icp_point_to_point(
+        jnp.asarray(model, jnp.float32), jnp.asarray(scene, jnp.float32),
+        mask, jnp.asarray(init, jnp.float32), threshold=0.1,
+        max_iters=5, rel_fitness=-1.0, rel_rmse=-1.0, return_iters=True)
+    # negative tolerance: |delta| < tol is never true -> runs to the cap
+    assert int(iters) == 5

@@ -295,3 +295,104 @@ def test_estimate_batch_escalates_per_frame(rng, monkeypatch, tiny_net):
     np.testing.assert_array_equal(np.asarray(batch["centers"][1]),
                                   np.asarray(single["centers"]))
     assert not bool(np.asarray(batch["cropped"][1]).any())
+
+
+# ---------------------------------------------------------------------------
+# Serving geometry knobs (packing window) + post-retry overflow surfacing
+# ---------------------------------------------------------------------------
+
+def test_suggest_pack_window_arithmetic():
+    """Window = CAD bounding-sphere diameter projected at z_min, padded
+    and rounded up to the tile multiple."""
+    # two points 200 mm apart -> diameter 200 mm exactly
+    cad = np.array([[0, 0, -100.0], [0, 0, 100.0]])
+    k = np.array([[600.0, 0, 0], [0, 500.0, 0], [0, 0, 1.0]])
+    wh, ww = infer.suggest_pack_window(cad, k, z_min_mm=500.0, margin=1.0,
+                                       multiple=32)
+    # rows: 200/500*500 = 200 -> 224; cols: 200/500*600 = 240 -> 256
+    assert (wh, ww) == (224, 256)
+
+
+def test_pack_window_escapes_legacy_crop(rng):
+    """An object whose mask projects larger than the legacy 256x320 window
+    trips ``cropped`` on EVERY frame (silent double-run steady state); a
+    geometry-derived window does not (VERDICT r4 weak #4)."""
+    h, w = 384, 512
+    depth = np.zeros((h, w), np.float32)
+    depth[30:330, 40:440] = 800.0     # 300x400 px blob > 256x320
+    sem = np.where(depth > 0, 1.0, 0.0)[None].repeat(3, axis=0)
+    radial = np.where(depth > 0, 1.0, 0.0)[None].repeat(3, axis=0)
+    k = jnp.asarray(np.array([[500.0, 0, w / 2], [0, 500.0, h / 2],
+                              [0, 0, 1.0]]), jnp.float32)
+    args = (jnp.asarray(sem), jnp.asarray(radial), jnp.asarray(depth), k,
+            jnp.asarray([60.0, 60.0, 60.0], jnp.float32),
+            jnp.zeros((3, 3), jnp.float32))
+    kw = dict(sem_threshold=0.5, n_points=131072, grid_l=96, mode="hier",
+              full_frame=False)
+    legacy = infer._pose_from_maps(*args, **kw, win_hw=None)
+    assert bool(np.asarray(legacy["cropped"]).any())
+    sized = infer._pose_from_maps(*args, **kw, win_hw=(320, 448))
+    assert not bool(np.asarray(sized["cropped"]).any())
+
+
+def test_pose_estimator_window_sources(tiny_net):
+    """win_hw: explicit config override > derived from CAD > legacy None."""
+    import dataclasses
+
+    cfg, _, vs = tiny_net
+    rng = np.random.default_rng(0)
+    keypoints = np.zeros((9, 3))
+    keypoints[1:4] = rng.normal(size=(3, 3)) * 0.05
+    cad_mm = rng.normal(size=(64, 3)) * 40.0
+    radii = np.array([2.0, 2.2, 2.4])
+
+    est = infer.PoseEstimator(cfg, vs, keypoints, radii)  # no CAD
+    assert est.win_hw is None
+    est = infer.PoseEstimator(cfg, vs, keypoints, radii, cad_mm=cad_mm)
+    assert est.win_hw == infer.suggest_pack_window(
+        cad_mm, np.asarray(est.k), z_min_mm=cfg.pack_z_min_mm)
+    cfg2 = dataclasses.replace(cfg, pack_win_h=96, pack_win_w=128)
+    est = infer.PoseEstimator(cfg2, vs, keypoints, radii, cad_mm=cad_mm)
+    assert est.win_hw == (96, 128)
+
+
+def test_overflow_after_retry_surfaced(rng):
+    """A frame whose cloud overflows even the retry grid keeps its
+    overflow flag (the retry's own bit was silently discarded before);
+    _frame_eval_seq reports it so eval results can count it."""
+    import dataclasses
+
+    from rcvpose_tpu import eval as eval_mod
+
+    h, w = 64, 64
+    depth = np.zeros((h, w), np.float32)
+    # depth ramp 500..3500 mm: 3 m extent = 600 voxels >> both grids
+    depth[16:48, 16:48] = np.linspace(
+        500, 3500, 32 * 32).reshape(32, 32).astype(np.float32)
+    sem = np.where(depth > 0, 1.0, 0.0)
+    radial = np.where(depth > 0, 1.0, 0.0)
+
+    class ConstSource:
+        def maps(self, kp, image, frame_id, lmo=False):
+            return jnp.asarray(sem), jnp.asarray(radial)
+
+    cfg = Config(compute_dtype="float32", vote_grid_l=32, retry_grid_l=48,
+                 max_points=2048, vote_mode="hier", icp_iters=2)
+    k = jnp.asarray(np.array([[500.0, 0, w / 2], [0, 500.0, h / 2],
+                              [0, 0, 1.0]]), jnp.float32)
+    cad_j = jnp.asarray(rng.normal(size=(32, 3)) * 40.0, jnp.float32)
+    rt_gt = np.eye(3, 4, dtype=np.float32)
+    rt, sbf, saf, retried, still = eval_mod._frame_eval_seq(
+        cfg, ConstSource(), np.zeros((h, w, 3), np.uint8), "f0",
+        jnp.asarray(depth), k, np.array([99.0, 99.0, 99.0]), 0.5,
+        np.zeros((3, 3)), cad_j, rt_gt, False)
+    assert retried
+    assert still, "post-retry overflow must be surfaced, not discarded"
+
+    # a grid large enough to hold the cloud clears the flag
+    cfg_big = dataclasses.replace(cfg, retry_grid_l=768)
+    *_, retried2, still2 = eval_mod._frame_eval_seq(
+        cfg_big, ConstSource(), np.zeros((h, w, 3), np.uint8), "f0",
+        jnp.asarray(depth), k, np.array([99.0, 99.0, 99.0]), 0.5,
+        np.zeros((3, 3)), cad_j, rt_gt, False)
+    assert retried2 and not still2
