@@ -120,6 +120,13 @@ def build_parser():
                         help="fetch + TB-log train metrics every N steps "
                              "(per-step fetches host-sync the loop; the "
                              "NaN guard samples at this cadence)")
+    parser.add_argument("--accum_steps", type=int,
+                        default=defaults.accum_steps,
+                        help="gradient accumulation: scan N microbatches "
+                             "of batch_size/N per optimizer step (e.g. "
+                             "--batch_size 16 --accum_steps 2 emulates "
+                             "global batch 16 at microbatch-8 memory, "
+                             "PERF.md 'Batch-size curve')")
     parser.add_argument("--val_interval_epochs", type=int,
                         default=defaults.val_interval_epochs,
                         help="validate + checkpoint every N epochs "
@@ -265,7 +272,8 @@ def run_train(cfg):
         # harmless on TPU pods.
         import numpy as np
 
-        p_train, p_eval = train.make_parallel_steps(mesh)
+        p_train, p_eval = train.make_parallel_steps(
+            mesh, getattr(cfg, "accum_steps", 1) or 1)
         sh = parallel.batch_sharding(mesh)
         gb = cfg.batch_size * nproc
         hw = (cfg.image_height, cfg.image_width)

@@ -41,6 +41,17 @@ class Config:
     #   N steps (a fetch is a host sync that serializes against the
     #   device; the NaN guard samples at this cadence — at most N-1 steps
     #   late, never past the epoch). 1 = the reference's per-step behavior.
+    accum_steps: int = 1              # gradient accumulation: each train
+    #   step scans accum_steps microbatches of batch_size/accum_steps
+    #   images, averages their grads, applies ONE optimizer update.
+    #   Emulates a larger global batch without its activation footprint —
+    #   e.g. --batch_size 16 --accum_steps 2 sidesteps the batch-10..12
+    #   XLA memory-space-assignment cliff (PERF.md "Batch-size curve")
+    #   at microbatch-8's measured-best throughput. batch_size must be
+    #   divisible by accum_steps. Semantics note: the masked radial-loss
+    #   normalizer (reference train.py:69) counts GT-nonzero pixels per
+    #   MICRObatch when accum_steps > 1 (grads are the equal-weight mean
+    #   over microbatches), and BN stats update once per microbatch.
     # --- model ---
     model: str = "dense"              # dense | res
     model_blocks: str = ""            # "" = ResNet-152 (3,8,36,3); e.g.

@@ -144,6 +144,68 @@ def train_step(state: TrainState, batch):
     return state, metrics
 
 
+def make_accum_train_step(accum):
+    """Gradient-accumulation train step: scan ``accum`` microbatches of
+    ``B/accum`` images, average their grads, apply ONE optimizer update.
+
+    TPU-first rationale: peak activation memory is the microbatch's, so a
+    global batch of 16 runs as 2x8 at microbatch-8's measured-best layout
+    instead of entering the batch-10..12 XLA memory-space-assignment cliff
+    (PERF.md "Batch-size curve, attributed"); unlike ``remat`` there is no
+    recompute — the extra cost is one grad-tree accumulator plus scan
+    overhead. Semantics vs the reference single step (train.py:67-70):
+    the masked radial normalizer counts nonzero pixels per microbatch and
+    grads combine as the equal-weight microbatch mean; BN stats chain
+    through the scan (one momentum update per microbatch). Metrics are
+    microbatch means."""
+    def step(state: TrainState, batch):
+        sem_t, rad_t = _label_maps(batch)
+        b = batch["image"].shape[0]
+        if b % accum:
+            raise ValueError(f"batch {b} not divisible by accum_steps {accum}")
+
+        def split(x):
+            x = x.reshape((accum, b // accum) + x.shape[1:])
+            if step.micro_sharding is not None:
+                # each microbatch stays sharded over the full 'data' axis
+                # (the plain reshape of a batch-sharded array would leave
+                # microbatch 0 on the first half of the mesh)
+                x = jax.lax.with_sharding_constraint(x, step.micro_sharding)
+            return x
+
+        xs = {"image": split(batch["image"]), "sem": split(sem_t),
+              "radial": split(rad_t)}
+
+        def loss_fn(params, stats, micro):
+            (seg, radial), mutated = state.apply_fn(
+                {"params": params, "batch_stats": stats},
+                micro["image"], True, mutable=["batch_stats"])
+            loss_s, loss_r, acc = losses(seg, radial, micro["sem"],
+                                         micro["radial"])
+            return loss_s + loss_r, (loss_s, loss_r, acc,
+                                     mutated["batch_stats"])
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, micro):
+            stats, gsum = carry
+            (loss, (ls, lr, acc, stats)), g = grad_fn(state.params, stats,
+                                                      micro)
+            gsum = jax.tree.map(jnp.add, gsum, g)
+            return (stats, gsum), {"loss": loss, "loss_s": ls,
+                                   "loss_r": lr, "acc": acc}
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, gsum), ms = jax.lax.scan(body,
+                                             (state.batch_stats, zero), xs)
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, jax.tree.map(jnp.mean, ms)
+    step.micro_sharding = None
+    return step
+
+
 def eval_step(state: TrainState, batch):
     """Validation pass (reference validate(), train.py:73-111)."""
     sem_t, rad_t = _label_maps(batch)
@@ -158,14 +220,22 @@ def eval_step(state: TrainState, batch):
             "acc": acc, "mae": mae}
 
 
-def make_parallel_steps(mesh):
+def make_parallel_steps(mesh, accum_steps=1):
     """jit the train/eval steps over a data mesh: batch sharded on 'data',
-    state replicated. XLA inserts the gradient all-reduce."""
+    state replicated. XLA inserts the gradient all-reduce.
+    ``accum_steps > 1`` substitutes the gradient-accumulation step (each
+    microbatch re-sharded over the full 'data' axis)."""
     repl = parallel.replicated(mesh)
     bsh = parallel.batch_sharding(mesh)
 
+    if accum_steps > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        step = make_accum_train_step(accum_steps)
+        step.micro_sharding = NamedSharding(mesh, P(None, "data"))
+    else:
+        step = train_step
     p_train = jax.jit(
-        train_step,
+        step,
         in_shardings=(repl, bsh),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
@@ -200,7 +270,8 @@ class Trainer:
     def __post_init__(self):
         self._train_step, self._eval_step = (
             self.steps if self.steps is not None
-            else make_parallel_steps(self.mesh))
+            else make_parallel_steps(
+                self.mesh, getattr(self.cfg, "accum_steps", 1) or 1))
 
     def train_epoch(self, epoch):
         # Mid-epoch resume: skip the batches this epoch already consumed

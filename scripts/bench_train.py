@@ -7,6 +7,12 @@ fori_loop, so host/tunnel feeding costs are excluded — this is the number
 the pjit DP trainer sees per chip once an input pipeline keeps up.
 
 Usage: python scripts/bench_train.py [batch] [height] [width] [--remat]
+                                     [--accum N]
+
+``--accum N`` runs the gradient-accumulation step (batch is the GLOBAL
+batch; each optimizer step scans N microbatches of batch/N). The imgs/s
+reported stays images-consumed per wall second, directly comparable to
+the plain rows.
 
 The default batch is 8 — the measured per-chip throughput recipe (PERF.md
 "Batch-size curve": +28% imgs/s over the reference's batch 4; 10 and 12
@@ -26,7 +32,14 @@ import numpy as np
 
 def main():
     remat = "--remat" in sys.argv
-    argv = [a for a in sys.argv if a != "--remat"]
+    accum = 1
+    argv = []
+    it = iter(a for a in sys.argv if a != "--remat")
+    for a in it:
+        if a == "--accum":
+            accum = int(next(it))
+        else:
+            argv.append(a)
     batch = int(argv[1]) if len(argv) > 1 else 8
     h = int(argv[2]) if len(argv) > 2 else 480
     w = int(argv[3]) if len(argv) > 3 else 640
@@ -40,7 +53,7 @@ def main():
     from rcvpose_tpu.config import Config
 
     cfg = Config(compute_dtype="bfloat16", image_height=h, image_width=w,
-                 batch_size=batch, remat=remat)
+                 batch_size=batch, remat=remat, accum_steps=accum)
     state = train_mod.create_state(cfg, jax.random.PRNGKey(0),
                                    sample_shape=(1, 64, 64, 3))
     rng = np.random.default_rng(0)
@@ -55,11 +68,14 @@ def main():
 
     reps = 32
 
+    step_fn = (train_mod.make_accum_train_step(accum) if accum > 1
+               else train_mod.train_step)
+
     @jax.jit
     def run(state, batch_d):
         def body(i, carry):
             state, acc = carry
-            state, m = train_mod.train_step(state, batch_d)
+            state, m = step_fn(state, batch_d)
             return (state, acc + m["loss"])
         return jax.lax.fori_loop(0, reps, body, (state, jnp.float32(0)))
 
@@ -77,7 +93,7 @@ def main():
         (state, batch_d))
 
     def _flops():
-        lw = jax.jit(train_mod.train_step).lower(*sds)
+        lw = jax.jit(step_fn).lower(*sds)
         return float((lw.cost_analysis() or {}).get("flops", 0.0))
 
     try:
@@ -115,7 +131,7 @@ def main():
     print(json.dumps({
         "metric": "train_step_ms", "value": round(best * 1e3, 2),
         "imgs_per_sec": round(batch / best, 2), "batch": batch,
-        "resolution": [h, w], "remat": remat,
+        "resolution": [h, w], "remat": remat, "accum_steps": accum,
         "tflops_per_step": (round(flops_per_step / 1e12, 2)
                             if flops_per_step else None),
         "mfu_vs_bf16_peak": round(mfu, 3) if mfu else None,

@@ -152,6 +152,56 @@ def test_multihead_train_step_single_device(rng):
     assert float(m["loss"]) < float(m0["loss"])
 
 
+def test_accum_step_matches_plain_step(rng):
+    """Gradient accumulation (accum_steps=2) must produce the same
+    parameter update as the plain step when the two microbatches are
+    identical copies: per-microbatch grads equal the full-batch grads, so
+    their mean does too (BN train-mode normalization uses the batch's own
+    statistics, which identical halves leave unchanged). SGD: its update
+    is LINEAR in the grad, so grad noise stays proportional in the
+    params — Adam's first step is ~sign(g)*lr, which amplifies noise on
+    near-zero grads into full +/-lr sign flips. Tolerances are loose
+    (measured ~1e-3 relative): BatchNorm's E[x^2]-E[x]^2 variance
+    cancels catastrophically, so reducing over batch 4 vs 2+2 perturbs
+    the normalized activations well past reduction-reorder noise — while
+    a real bug (a forgotten /accum, a mis-sharded microbatch) shows up
+    at relative O(1)."""
+    cfg = tiny_cfg(optim="sgd")
+    state = train.create_state(cfg, jax.random.PRNGKey(0), blocks=TINY,
+                               sample_shape=(1, 32, 32, 3), width=0.125)
+    half = synth_batch(rng, b=2)
+    full = {k: jnp.concatenate([v, v], axis=0) for k, v in half.items()}
+
+    plain = jax.jit(train.train_step)
+    accum = jax.jit(train.make_accum_train_step(2))
+    s_plain, m_plain = plain(state, full)
+    s_accum, m_accum = accum(state, full)
+
+    for a, b in zip(jax.tree.leaves(s_plain.params),
+                    jax.tree.leaves(s_accum.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+    assert float(m_accum["loss"]) == pytest.approx(float(m_plain["loss"]),
+                                                   rel=1e-4)
+    # indivisible batch is a loud error, not silent truncation
+    with pytest.raises(ValueError, match="not divisible"):
+        jax.jit(train.make_accum_train_step(3))(state, full)
+
+
+def test_accum_step_on_mesh(rng, mesh_env):
+    """make_parallel_steps(accum_steps=2) on the DP mesh: microbatches are
+    re-sharded over the full 'data' axis and training still converges."""
+    cfg, mesh, state0, _, _ = mesh_env
+    p_train, _ = train.make_parallel_steps(mesh, accum_steps=2)
+    state = copy_state(state0)
+    batch = parallel.shard_batch(mesh, synth_batch(rng))
+    state, m0 = p_train(state, batch)
+    for _ in range(2):
+        state, m = p_train(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
+
+
 def test_nan_loss_raises(rng, mesh_env):
     """Failure detection (reference train.py:161-162): a NaN loss must
     abort the epoch with a raise, not silently continue."""
