@@ -34,8 +34,13 @@ class Checkpointer:
     continues — the reference (and the round-4 build) stalled every
     validation on the full write. ``save`` first waits out any still-
     running previous save (by the next validation it has long finished),
-    ``restore`` waits before reading, and ``Trainer.fit`` waits before
-    returning so a finished run never has a write in flight. Snapshotting
+    ``restore`` waits before reading, ``Trainer.fit`` waits before
+    returning so a finished run never has a write in flight, and a
+    GC finalizer drains in-flight writes when the wrapper dies (so the
+    one-shot ``Checkpointer(d).save(...)`` idiom is safe). Handing the
+    directory to ANOTHER reader (a fresh Checkpointer, the eval's
+    ``_orbax_variables``) while this instance is alive still requires an
+    explicit ``wait_until_finished()`` first. Snapshotting
     also makes the donated train-step buffers safe: the next step may
     overwrite the device arrays freely. ``async_save=False`` restores the
     fully synchronous behavior (measured stall delta in PERF.md
@@ -44,8 +49,28 @@ class Checkpointer:
     def __init__(self, directory, async_save=True):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # both modes wrap the SAME handler so save/restore signatures
+        # (args=ocp.args.Standard*) are uniform; StandardCheckpointer's
+        # own save() takes the pytree positionally and would break the
+        # sync branch
         self._ckpt = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
-                      if async_save else ocp.StandardCheckpointer())
+                      if async_save
+                      else ocp.Checkpointer(ocp.StandardCheckpointHandler()))
+        # Drain in-flight writes when this wrapper is collected: the
+        # one-shot ``Checkpointer(d).save(...)`` pattern otherwise tears
+        # down the async machinery mid-commit at GC (observed as a
+        # truncated checkpoint + "cannot schedule new futures after
+        # shutdown" from the commit thread). The finalizer holds the orbax
+        # object, not ``self``, so it cannot keep the wrapper alive.
+        import weakref
+        weakref.finalize(self, Checkpointer._drain, self._ckpt)
+
+    @staticmethod
+    def _drain(ckpt):
+        try:
+            ckpt.wait_until_finished()
+        except Exception:
+            pass  # never raise during GC/interpreter shutdown
 
     def _payload(self, state, epoch, iteration, best_val):
         return {
@@ -59,26 +84,28 @@ class Checkpointer:
         }
 
     def wait_until_finished(self):
-        """Block until every dispatched save has committed to disk."""
-        self._ckpt.wait_until_finished()
+        """Block until every dispatched save has committed to disk (no-op
+        in sync mode — ocp.Checkpointer has no async machinery)."""
+        if hasattr(self._ckpt, "wait_until_finished"):
+            self._ckpt.wait_until_finished()
 
     def save(self, state, epoch, iteration, best_val, is_best=False):
         payload = self._payload(state, epoch, iteration, best_val)
         # serialize with the PREVIOUS save (long done by the next
         # validation); the save dispatched below then overlaps training
-        self._ckpt.wait_until_finished()
+        self.wait_until_finished()
         path = os.path.join(self.directory, "ckpt")
         self._ckpt.save(path, args=ocp.args.StandardSave(payload),
                         force=True)
         if is_best:
-            self._ckpt.wait_until_finished()
+            self.wait_until_finished()
             best = os.path.join(self.directory, "model_best")
             self._ckpt.save(best, args=ocp.args.StandardSave(payload),
                             force=True)
 
     def restore(self, state, best=False):
         """Returns (state, epoch, iteration, best_val)."""
-        self._ckpt.wait_until_finished()  # an in-flight save of this dir
+        self.wait_until_finished()  # an in-flight save of this dir
         name = "model_best" if best else "ckpt"
         path = os.path.join(self.directory, name)
         template = self._payload(state, 0, 0, float("inf"))

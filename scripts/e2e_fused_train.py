@@ -23,9 +23,14 @@ def setup_jax(small):
 
     if small:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
+    from rcvpose_tpu.utils import cpu_cache_dir
+    cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
+        ".jax_cache")
+    if small:
+        # CPU AOT cache entries are machine code — key per host
+        cache = cpu_cache_dir(cache)
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
@@ -107,4 +112,6 @@ def train_fused_checkpoint(cfg, images, depths, poses, keypoints_m,
           f"val loss {val:.4f}", file=sys.stderr)
     ckpt.save(trainer.state, epoch=max_epochs, iteration=trainer.iteration,
               best_val=val, is_best=False)
+    # async save: the caller restores this directory next — drain first
+    ckpt.wait_until_finished()
     return trainer.iteration, val

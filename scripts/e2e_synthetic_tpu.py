@@ -150,10 +150,15 @@ def main():
     if args.small:
         jax.config.update("jax_platforms", "cpu")
     # persistent compile cache: the full-model train-step compile costs
-    # minutes on a single-core host; identical across reruns
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
+    # minutes on a single-core host; identical across reruns. CPU AOT
+    # entries are machine code — keyed per host (utils.cpu_cache_dir).
+    from rcvpose_tpu.utils import cpu_cache_dir
+    cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
+        ".jax_cache")
+    if args.small:
+        cache = cpu_cache_dir(cache)
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from rcvpose_tpu import infer, labels, metrics, parallel
@@ -262,6 +267,7 @@ def main():
         val = trainer.validate(max_epochs)
         ckpt.save(trainer.state, epoch=max_epochs,
                   iteration=trainer.iteration, best_val=val, is_best=False)
+        ckpt.wait_until_finished()  # restored below — drain the async write
         print(f"{tag}: {trainer.iteration} steps in {dt:.1f} s "
               f"({steps_per_sec:.2f} steps/s), val loss {val:.4f}",
               file=sys.stderr)

@@ -50,6 +50,40 @@ def synth_torch_state_dict(rng):
     return sd
 
 
+def test_one_shot_async_save_readable_by_fresh_reader(tmp_path):
+    """The throwaway ``Checkpointer(d).save(...)`` idiom with the async
+    default must leave a COMPLETE checkpoint behind once the wrapper is
+    collected (GC finalizer drains the in-flight write) — a fresh reader
+    that knows nothing about the writer then restores it. Regression:
+    before the finalizer, GC tore down the commit thread mid-write
+    ("cannot schedule new futures after shutdown") and the eval's
+    restore found a truncated directory."""
+    import gc
+
+    import jax
+
+    from rcvpose_tpu import train
+    from rcvpose_tpu.config import Config
+
+    cfg = Config(model_blocks="1,1,1,1", model_width=0.125,
+                 compute_dtype="float32", image_height=32, image_width=32)
+    state = train.create_state(cfg, jax.random.PRNGKey(0),
+                               sample_shape=(1, 32, 32, 3))
+    d = str(tmp_path / "ckpts")
+    checkpoint.Checkpointer(d).save(state, epoch=2, iteration=7,
+                                    best_val=0.25, is_best=True)
+    gc.collect()  # the writer is gone; its finalizer must have drained
+
+    restored, epoch, it, best = checkpoint.Checkpointer(d).restore(state)
+    assert (epoch, it, best) == (2, 7, 0.25)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))
+    # the best-copy must be complete too
+    _, epoch_b, _, _ = checkpoint.Checkpointer(d).restore(state, best=True)
+    assert epoch_b == 2
+
+
 def test_torch_import_maps_all_keys(rng):
     sd = synth_torch_state_dict(rng)
     out = checkpoint.import_torch_state_dict(sd)
