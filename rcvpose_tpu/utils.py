@@ -11,6 +11,35 @@ import os
 import time
 
 
+def machine_cache_key():
+    """Short hash of this host's CPU feature flags.
+
+    XLA:CPU persistent-cache entries are AOT-compiled machine code;
+    loading an entry compiled on a host with a different feature set
+    executes unsupported instructions — observed in this repo as
+    cpu_aot_loader feature-mismatch warnings escalating to heap
+    corruption and mid-suite aborts when rounds run on heterogeneous
+    driver machines. CPU cache dirs must therefore be keyed per machine
+    (``.jax_cache/cpu-<key>``). TPU entries are serialized device
+    programs — host-independent — and stay shareable."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(ln for ln in f if ln.startswith("flags"))
+        return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except Exception:
+        return platform.machine() or "unknown"
+
+
+def cpu_cache_dir(base_dir):
+    """Machine-keyed CPU-backend cache dir under ``base_dir`` (see
+    ``machine_cache_key``). Used by the test conftest, the driver dryrun,
+    and every --small/CPU harness path."""
+    return os.path.join(base_dir, f"cpu-{machine_cache_key()}")
+
+
 def enable_compile_cache(cache_dir, min_compile_secs=1.0):
     """Point JAX's persistent compilation cache at ``cache_dir``.
 

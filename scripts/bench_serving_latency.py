@@ -45,7 +45,13 @@ def setup_jax(small):
     import jax
     if small:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    if small:
+        # CPU AOT cache entries are machine code — key per host
+        from rcvpose_tpu.utils import cpu_cache_dir
+        cache = cpu_cache_dir(cache)
+    jax.config.update("jax_compilation_cache_dir", cache)
     return jax
 
 

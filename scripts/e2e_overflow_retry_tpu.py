@@ -45,9 +45,13 @@ def main():
 
     if args.small:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
+    from rcvpose_tpu.utils import cpu_cache_dir
+    cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
+        ".jax_cache")
+    if args.small:
+        cache = cpu_cache_dir(cache)  # CPU AOT entries are per-machine
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp

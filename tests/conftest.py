@@ -20,15 +20,46 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite's wall time is dominated by XLA:CPU
 # compiles that are identical run to run (notably the mesh train step).
+# MACHINE-KEYED dir (utils.cpu_cache_dir): XLA:CPU entries are AOT machine
+# code, and loading entries compiled on another round's driver host
+# (different CPU features) corrupted the heap and aborted the suite
+# mid-run — the cpu_aot_loader mismatch warnings escalating to crashes.
+from rcvpose_tpu.utils import cpu_cache_dir  # noqa: E402
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+    cpu_cache_dir(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+# KNOWN HAZARD (environment, not framework): on some hosts, a LONG
+# single-process suite run dies with a segfault/abort INSIDE XLA:CPU
+# handling the big 2-device pjit train-step program of
+# tests/test_train.py::test_train_step_reduces_loss_on_mesh — observed in
+# the fresh-compile path (backend_compile_and_load), the cache-write path
+# (put_executable_and_time) AND the cache-read path
+# (get_executable_and_time), i.e. the crash follows the program, not one
+# code path. The same compile/load succeeds every time in a short-lived
+# process (pytest tests/test_train.py alone: 11 passed; standalone
+# repro: ok). Reproduced 5/5 full runs vs 0/5 short runs on the round-5
+# driver host, with and without the native extension loaded, on a fresh
+# machine-keyed cache dir — so it is a process-aged XLA:CPU condition,
+# not framework native code and not stale foreign-machine AOT entries
+# (those are ALSO a real hazard; hence cpu_cache_dir above).
+# Mitigation: hoist test_train.py to the FRONT of the collection
+# (below) so the suite's biggest CPU compiles run in a lean process;
+# ordering between files carries no semantics in this suite.
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    front = [it for it in items if "test_train.py" in str(it.fspath)]
+    rest = [it for it in items if "test_train.py" not in str(it.fspath)]
+    items[:] = front + rest
 
 
 @pytest.fixture

@@ -39,9 +39,12 @@ def test_heterogeneous_path_reduction_uses_fixed_keys(monkeypatch):
     from rcvpose_tpu import eval as eval_mod
     from rcvpose_tpu import parallel
 
+    # the round-5 fixed layout: + overflow_after_retry (post-retry
+    # overflow surfacing) and data_parallel (pod-total device count,
+    # reduced for LM/LMO exactly like YCB — advisor r4)
     raw = ["bf_count", "af_count", "frames", "overflow_frames",
-           "frame_total_ms", "net_total_ms", "acc_total_ms",
-           "decode_total_ms"]
+           "overflow_after_retry", "frame_total_ms", "net_total_ms",
+           "acc_total_ms", "decode_total_ms", "data_parallel"]
     # local process: sequential path (no frame_total_ms/overflow_frames)
     res_local = {"bf_count": 3, "af_count": 4, "frames": 5,
                  "net_total_ms": 50.0, "acc_total_ms": 25.0,
@@ -49,8 +52,9 @@ def test_heterogeneous_path_reduction_uses_fixed_keys(monkeypatch):
                  "add_after_icp": 0.8, "vote_topk": 64}
     # remote process: DP path (no net/acc totals)
     res_remote = {"bf_count": 2, "af_count": 3, "frames": 3,
-                  "overflow_frames": 1, "frame_total_ms": 90.0,
-                  "decode_total_ms": 6.0}
+                  "overflow_frames": 1, "overflow_after_retry": 1,
+                  "frame_total_ms": 90.0, "decode_total_ms": 6.0,
+                  "data_parallel": 8}
 
     def fake_allgather(vec):
         remote = np.array(
@@ -67,6 +71,8 @@ def test_heterogeneous_path_reduction_uses_fixed_keys(monkeypatch):
     assert out["add_before_icp"] == (3 + 2) / 8
     assert out["add_after_icp"] == (4 + 3) / 8
     assert out["overflow_frames"] == 1          # remote-only key survives
+    assert out["overflow_after_retry"] == 1
+    assert out["data_parallel"] == 8            # pod total (remote's mesh)
     # stage totals never cross-contaminate across mismatched paths
     assert out["net_ms_per_frame"] == 50.0 / 8
     assert out["acc_ms_per_frame"] == 25.0 / 8
