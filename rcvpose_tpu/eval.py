@@ -524,7 +524,7 @@ def _finalize_class_results(res):
     return out
 
 
-def _prefetched_chunks(items, chunk_size, load_one, timers=None):
+def _prefetched_chunks(items, chunk_size, load_one, timers=None, stats=None):
     """Yield ``(n_real, padded_chunk, loaded)`` mesh-sized chunks with the
     NEXT chunk's host file IO running in a background thread while the
     caller dispatches the current one to the device mesh — without this
@@ -543,9 +543,19 @@ def _prefetched_chunks(items, chunk_size, load_one, timers=None):
     ``timers``: optional ``utils.StageTimers``; decode wall time accrues
     under the ``"decode"`` stage (producer-thread time — it overlaps
     device compute, so it is reported separately, never added to the
-    per-frame stage totals)."""
+    per-frame stage totals).
+
+    ``stats``: optional dict; when given, the producer appends each
+    chunk's decode interval to ``stats["decode"]`` and the generator
+    appends each consumer processing interval (yield -> next get) to
+    ``stats["consume"]``, both as ``(t0, t1)`` ``perf_counter`` pairs.
+    Their pairwise intersection is the decode time that actually ran
+    concurrently with the consumer's device dispatch — the direct
+    overlap measurement ``scripts/bench_eval_prefetch.py`` reports
+    (host-clock concurrency, immune to run-to-run wall noise)."""
     import queue
     import threading
+    from time import perf_counter
 
     q = queue.Queue(maxsize=1)
     cancelled = threading.Event()
@@ -565,11 +575,15 @@ def _prefetched_chunks(items, chunk_size, load_one, timers=None):
                     return
                 chunk = items[c0:c0 + chunk_size]
                 padded = chunk + [chunk[-1]] * (chunk_size - len(chunk))
+                t_dec = perf_counter()
                 if timers is not None:
                     with timers.time("decode"):
                         loaded = [load_one(it) for it in chunk]
                 else:
                     loaded = [load_one(it) for it in chunk]
+                if stats is not None:
+                    stats.setdefault("decode", []).append(
+                        (t_dec, perf_counter()))
                 # pad by repeating the last DECODED object: re-decoding
                 # duplicates would waste IO and, worse, bill the padding
                 # to the per-frame "decode" timer (a 2-frame class on an
@@ -589,7 +603,13 @@ def _prefetched_chunks(items, chunk_size, load_one, timers=None):
                 return
             if isinstance(got, BaseException):
                 raise got
-            yield got
+            if stats is None:
+                yield got
+            else:
+                t0 = perf_counter()
+                yield got
+                stats.setdefault("consume", []).append(
+                    (t0, perf_counter()))
     finally:
         cancelled.set()
         try:  # unblock a producer parked on q.put
@@ -1076,7 +1096,11 @@ def _ycb_icp_kw(cfg):
     (10k default — the reference's 2e6 exists only to mean "never stop on
     iterations"; measured convergence on the e2e fixture is <40 iterations
     per frame, PARITY.md "YCB ICP criteria"). ``--no_ycb_icp_converged``
-    falls back to the fixed ``icp_iters`` count used everywhere else."""
+    falls back to the fixed ``icp_iters`` count used everywhere else.
+    Measured on TPU (``scripts/e2e_ycb_tpu.py --icp_compare``, learned
+    fused checkpoint, 8 frames): converged vs fixed-30 AUC delta 0.0 —
+    both 0.900 after ICP — so the criteria difference is a documented
+    no-op on well-converged fits and matters only for hard frames."""
     if getattr(cfg, "ycb_icp_converged", True):
         tol = getattr(cfg, "icp_rel_tol", 1e-6)
         return dict(icp_iters=int(getattr(cfg, "ycb_icp_max_iters", 10_000)),
