@@ -53,6 +53,22 @@ def _extent(points):
     return float(np.max(points.max(axis=0) - points.min(axis=0)))
 
 
+def _read_or_error(findings, path, what, fn):
+    """Run one file read; a corrupt/unreadable file becomes an ERROR
+    finding instead of a traceback. check-data's whole point is 'a
+    failing tree can be fixed against the source of truth rather than a
+    stack trace' — a truncated .npy/.mat/HDF5/png must not abort the
+    walk before the remaining findings are reported. Returns None on
+    failure."""
+    try:
+        return fn()
+    except Exception as exc:  # noqa: BLE001 - report, keep walking
+        findings.append(Finding(
+            "ERROR", str(path),
+            f"unreadable {what}: {type(exc).__name__}: {exc}"))
+        return None
+
+
 def _check_cad_units(path, expect, findings):
     """expect: 'mm' (train mesh.ply) or 'm' (eval <class>.ply)."""
     from rcvpose_tpu.data import readers
@@ -96,7 +112,10 @@ def _check_keypoints(path, findings):
             "oriented-bbox-corner keypoints instead (rmap_dataset.py:43-51)"
         ))
         return None
-    kpts = np.load(path)
+    kpts = _read_or_error(findings, path, "keypoint .npy",
+                          lambda: np.load(path))
+    if kpts is None:
+        return None
     if kpts.shape != (9, 3):
         findings.append(Finding(
             "ERROR", path,
@@ -155,9 +174,18 @@ def _check_pose_m(path, pose, findings):
         findings.append(Finding("OK", path, f"pose |t| {t:.2f} m plausible"))
 
 
-def check_lm(root, class_name, max_frames=3):
+def check_lm(root, class_name, max_frames=3, assets_only=False):
     """LINEMOD tree checks (layout: rmap_dataset.py:32-38 + the eval
-    tree's LINEMOD_ORIG conventions, AccumulatorSpace.py:507-618)."""
+    tree's LINEMOD_ORIG conventions, AccumulatorSpace.py:507-618).
+
+    ``assets_only``: check only the class assets the OTHER datasets
+    borrow from this tree — the meter-valued eval ``<class>.ply`` and
+    ``Outside9.npy`` keypoints (what ``estimate_6d_pose_lmo`` reads,
+    eval.py) — with the eval ply as ERROR. The full-LM requirements
+    (Split/val.txt, JPEGImages, poses, masks, LINEMOD_ORIG depth) are
+    NOT applied: a valid LMO setup has none of them, and flagging them
+    as errors would fail a tree that ``--mode test --dname lmo``
+    evaluates fine."""
     from rcvpose_tpu.data import readers
 
     findings = []
@@ -168,6 +196,18 @@ def check_lm(root, class_name, max_frames=3):
             "ERROR", pv,
             "class directory missing (<root>/LINEMOD/<class>, "
             "rmap_dataset.py:31-38)"))
+        return findings
+    if assets_only:
+        eval_ply = os.path.join(pv, f"{class_name}.ply")
+        if os.path.isfile(eval_ply):
+            _check_cad_units(eval_ply, "m", findings)
+        else:
+            findings.append(Finding(
+                "ERROR", eval_ply,
+                "eval-path <class>.ply missing — the LMO evaluator "
+                "reads it for radius clips, ADD and ICP "
+                "(AccumulatorSpace.py:544-549)"))
+        _check_keypoints(os.path.join(pv, "Outside9.npy"), findings)
         return findings
 
     ids = []
@@ -216,13 +256,19 @@ def check_lm(root, class_name, max_frames=3):
                 "frame listed in Split/val.txt but image missing "
                 "(rmap_dataset.py:32)"))
             continue
-        img = readers.read_image(img_p)
+        img = _read_or_error(findings, img_p, "image",
+                             lambda p=img_p: readers.read_image(p))
+        if img is None:
+            continue
         img_shape = np.asarray(img).shape[:2]
 
         pose_p = os.path.join(pv, "pose", f"pose{n}.npy")
         rot_p = os.path.join(pv, "data", f"rot{n}.rot")
         if os.path.isfile(pose_p):
-            _check_pose_m(pose_p, np.load(pose_p), findings)
+            pose = _read_or_error(findings, pose_p, "pose .npy",
+                                  lambda p=pose_p: np.load(p))
+            if pose is not None:
+                _check_pose_m(pose_p, pose, findings)
         elif os.path.isfile(rot_p):
             findings.append(Finding(
                 "OK", rot_p, "original-format rot/tra GT (cm; "
@@ -235,8 +281,10 @@ def check_lm(root, class_name, max_frames=3):
 
         mask_p = os.path.join(pv, "mask", f"{n.zfill(4)}.png")
         if os.path.isfile(mask_p):
-            mask = readers.read_mask(mask_p)
-            if np.asarray(mask).shape[:2] != tuple(img_shape):
+            mask = _read_or_error(findings, mask_p, "mask png",
+                                  lambda p=mask_p: readers.read_mask(p))
+            if mask is not None and \
+                    np.asarray(mask).shape[:2] != tuple(img_shape):
                 findings.append(Finding(
                     "ERROR", mask_p,
                     f"mask shape {np.asarray(mask).shape[:2]} != image "
@@ -250,7 +298,10 @@ def check_lm(root, class_name, max_frames=3):
 
         dpt_p = os.path.join(orig, "data", f"depth{n}.dpt")
         if os.path.isfile(dpt_p):
-            depth = readers.read_depth(dpt_p)
+            depth = _read_or_error(findings, dpt_p, ".dpt depth",
+                                   lambda p=dpt_p: readers.read_depth(p))
+            if depth is None:
+                continue
             if np.asarray(depth).shape != tuple(img_shape):
                 findings.append(Finding(
                     "ERROR", dpt_p,
@@ -282,7 +333,15 @@ def check_lmo(root, class_name, max_frames=3):
                                                 f"{what}"))
     if not os.path.isdir(rgb_dir):
         return findings
-    frames = sorted(fn for fn in os.listdir(rgb_dir) if fn.endswith(".png"))
+    import re
+
+    pngs = sorted(fn for fn in os.listdir(rgb_dir) if fn.endswith(".png"))
+    frames = [fn for fn in pngs if re.fullmatch(r"color_\d+\.png", fn)]
+    for stray in sorted(set(pngs) - set(frames)):
+        findings.append(Finding(
+            "WARN", os.path.join(rgb_dir, stray),
+            "png does not match color_<N>.png — ignored by the evaluator "
+            "(eval.py strict frame filter)"))
     if not frames:
         findings.append(Finding("ERROR", rgb_dir, "no color_*.png frames"))
         return findings
@@ -295,11 +354,17 @@ def check_lmo(root, class_name, max_frames=3):
             findings.append(Finding(
                 "ERROR", dp, "depth frame missing for listed rgb frame"))
         else:
-            _check_depth_mm(dp, readers.read_depth(dp), findings)
+            depth = _read_or_error(findings, dp, "depth png",
+                                   lambda p=dp: readers.read_depth(p))
+            if depth is not None:
+                _check_depth_mm(dp, depth, findings)
         pp = os.path.join(pose_dir, f"pose{num}.npy")
         if os.path.isfile(pp):
             with_pose += 1
-            _check_pose_m(pp, np.load(pp), findings)
+            pose = _read_or_error(findings, pp, "pose .npy",
+                                  lambda p=pp: np.load(p))
+            if pose is not None:
+                _check_pose_m(pp, pose, findings)
     if os.path.isdir(pose_dir) and with_pose == 0:
         findings.append(Finding(
             "WARN", pose_dir,
@@ -340,9 +405,12 @@ def check_ycb(root, class_name, class_id, max_frames=3):
 
     xyz = os.path.join(mdir, "points.xyz")
     if os.path.isfile(xyz):
-        pts = np.loadtxt(xyz)[:, :3]
-        ext = _extent(pts)
-        if not (0.03 <= ext <= 0.6):
+        pts = _read_or_error(findings, xyz, "points.xyz",
+                             lambda: np.loadtxt(xyz)[:, :3])
+        ext = _extent(pts) if pts is not None else None
+        if ext is None:
+            pass
+        elif not (0.03 <= ext <= 0.6):
             findings.append(Finding(
                 "ERROR", xyz,
                 f"model extent {ext:.4g} outside 0.03-0.6 m — YCB "
@@ -360,7 +428,11 @@ def check_ycb(root, class_name, class_id, max_frames=3):
             "ERROR", h5p, "per-class HDF5 missing (3DRadius_ycb.py:200; "
             "AccumulatorSpace.py:1012-1013)"))
         return findings
-    with h5py.File(h5p, "r") as f:
+    fobj = _read_or_error(findings, h5p, "HDF5",
+                          lambda: h5py.File(h5p, "r"))
+    if fobj is None:
+        return findings
+    with fobj as f:
         if "JPEGImages" not in f:
             findings.append(Finding(
                 "ERROR", h5p, "no JPEGImages group (3DRadius_ycb.py:"
@@ -408,7 +480,10 @@ def check_ycb(root, class_name, class_id, max_frames=3):
                     "ERROR", mat_p, "frame .mat missing "
                     "(AccumulatorSpace.py:1018)"))
                 continue
-            meta = scipy.io.loadmat(mat_p)
+            meta = _read_or_error(findings, mat_p, ".mat meta",
+                                  lambda p=mat_p: scipy.io.loadmat(p))
+            if meta is None:
+                continue
             for key in ("poses", "cls_indexes", "factor_depth",
                         "intrinsic_matrix"):
                 if key not in meta:
@@ -425,11 +500,13 @@ def check_ycb(root, class_name, class_id, max_frames=3):
             dep_p = os.path.join(root, "data", cycle, f"{idx}-depth.png")
             if os.path.isfile(dep_p) and "factor_depth" in meta:
                 factor = float(np.asarray(meta["factor_depth"]).ravel()[0])
-                depth_mm = (readers.read_depth(dep_p).astype(np.float32)
-                            / factor * 1000.0)
-                _check_depth_mm(
-                    dep_p, depth_mm, findings,
-                    what=f"depth (/factor_depth={factor:g} -> mm)")
+                raw = _read_or_error(findings, dep_p, "depth png",
+                                     lambda p=dep_p: readers.read_depth(p))
+                if raw is not None:
+                    depth_mm = raw.astype(np.float32) / factor * 1000.0
+                    _check_depth_mm(
+                        dep_p, depth_mm, findings,
+                        what=f"depth (/factor_depth={factor:g} -> mm)")
             elif not os.path.isfile(dep_p):
                 findings.append(Finding(
                     "ERROR", dep_p, "depth png missing "
@@ -462,7 +539,10 @@ def run_check(cfg, progress=print):
             findings += check_ycb(cfg.root_dataset, cname, cid)
         elif cfg.dataset == "lmo":
             findings += check_lmo(cfg.root_dataset, cname)
-            findings += check_lm(cfg.root_dataset, cname)  # CAD/kpt tree
+            # the CAD/keypoint assets LMO borrows from the LINEMOD tree
+            # (NOT the full-LM requirements — a valid LMO setup has no
+            # Split/JPEGImages/pose dirs there)
+            findings += check_lm(cfg.root_dataset, cname, assets_only=True)
         else:
             findings += check_lm(cfg.root_dataset, cname)
     for f in findings:

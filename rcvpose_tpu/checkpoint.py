@@ -56,6 +56,15 @@ class Checkpointer:
         self._ckpt = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
                       if async_save
                       else ocp.Checkpointer(ocp.StandardCheckpointHandler()))
+        # model_best gets its OWN async checkpointer: dispatching it on
+        # self._ckpt would require waiting out the just-dispatched ckpt
+        # write first, reintroducing the full synchronous stall on every
+        # best-improving validation (early training improves almost every
+        # time). Two checkpointers snapshot the payload independently, so
+        # both writes overlap training.
+        self._ckpt_best = (
+            ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+            if async_save else self._ckpt)
         # Drain in-flight writes when this wrapper is collected: the
         # one-shot ``Checkpointer(d).save(...)`` pattern otherwise tears
         # down the async machinery mid-commit at GC (observed as a
@@ -63,14 +72,17 @@ class Checkpointer:
         # shutdown" from the commit thread). The finalizer holds the orbax
         # object, not ``self``, so it cannot keep the wrapper alive.
         import weakref
-        weakref.finalize(self, Checkpointer._drain, self._ckpt)
+        weakref.finalize(self, Checkpointer._drain, self._ckpt,
+                         self._ckpt_best)
 
     @staticmethod
-    def _drain(ckpt):
-        try:
-            ckpt.wait_until_finished()
-        except Exception:
-            pass  # never raise during GC/interpreter shutdown
+    def _drain(*ckpts):
+        for ckpt in ckpts:
+            try:
+                if hasattr(ckpt, "wait_until_finished"):
+                    ckpt.wait_until_finished()
+            except Exception:
+                pass  # never raise during GC/interpreter shutdown
 
     def _payload(self, state, epoch, iteration, best_val):
         return {
@@ -84,24 +96,27 @@ class Checkpointer:
         }
 
     def wait_until_finished(self):
-        """Block until every dispatched save has committed to disk (no-op
-        in sync mode — ocp.Checkpointer has no async machinery)."""
-        if hasattr(self._ckpt, "wait_until_finished"):
-            self._ckpt.wait_until_finished()
+        """Block until every dispatched save (ckpt AND model_best) has
+        committed to disk (no-op in sync mode — ocp.Checkpointer has no
+        async machinery)."""
+        for ckpt in (self._ckpt, self._ckpt_best):
+            if hasattr(ckpt, "wait_until_finished"):
+                ckpt.wait_until_finished()
 
     def save(self, state, epoch, iteration, best_val, is_best=False):
         payload = self._payload(state, epoch, iteration, best_val)
-        # serialize with the PREVIOUS save (long done by the next
-        # validation); the save dispatched below then overlaps training
+        # serialize with the PREVIOUS saves (long done by the next
+        # validation); the saves dispatched below then overlap training
         self.wait_until_finished()
         path = os.path.join(self.directory, "ckpt")
         self._ckpt.save(path, args=ocp.args.StandardSave(payload),
                         force=True)
         if is_best:
-            self.wait_until_finished()
+            # separate checkpointer: no wait on the ckpt write above —
+            # both snapshots were taken from the same host payload
             best = os.path.join(self.directory, "model_best")
-            self._ckpt.save(best, args=ocp.args.StandardSave(payload),
-                            force=True)
+            self._ckpt_best.save(best, args=ocp.args.StandardSave(payload),
+                                 force=True)
 
     def restore(self, state, best=False):
         """Returns (state, epoch, iteration, best_val)."""

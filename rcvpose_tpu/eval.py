@@ -23,6 +23,7 @@ Behavioral notes (documented divergences from reference bugs):
 from __future__ import annotations
 
 import os
+import re
 import time
 from functools import partial
 
@@ -985,8 +986,10 @@ def estimate_6d_pose_lmo(cfg, class_names=None, max_frames=None,
         bf_icp = af_icp = counter = overflow_count = 0
         overflow_after_retry = 0
         timers = utils.StageTimers()
+        # strict color_NNNNN.png filter: a stray .png (preview.png, editor
+        # backup) would otherwise crash the int() frame-number parse below
         frames = sorted(fn for fn in os.listdir(rgb_dir)
-                        if fn.endswith(".png"))
+                        if re.fullmatch(r"color_\d+\.png", fn))
         if max_frames:
             frames = frames[:max_frames]
         gt_kpts_mm = keypoints[1:4] * 1000.0

@@ -119,7 +119,10 @@ def icp_point_to_point(source, target, target_mask, init, threshold,
       points) and inlier RMSE drops below the respective tolerance
       (Open3D's "relative_*" names notwithstanding, its comparison is an
       absolute delta — pipelines/registration/Registration.cpp), or at
-      ``max_iters``.
+      ``max_iters`` updates. Like Open3D, quality is evaluated BEFORE
+      the next update is applied, so the returned transform is the one
+      whose quality passed the test — no trailing extra update — and
+      the iteration count is the number of updates applied.
 
     Args:
       source: (S, 3) model points (e.g. CAD vertices, mm).
@@ -184,19 +187,29 @@ def icp_point_to_point(source, target, target_mask, init, threshold,
     tol_f = jnp.float32(rel_fitness if rel_fitness is not None else 0.0)
     tol_r = jnp.float32(rel_rmse if rel_rmse is not None else 0.0)
 
+    # Open3D's loop evaluates registration quality of the CURRENT
+    # transform, compares it against the previous evaluation, and only
+    # when not converged applies the next update — so the transform it
+    # returns is the one whose quality passed the test, with no extra
+    # update on top. Mirror that order exactly: each body evaluates
+    # quality(rt) (one NN pass, shared with the update), decides `done`
+    # against the previous quality, and keeps rt unchanged when done.
+    # The first body compares against -1 sentinels (Open3D's first
+    # comparison is update-1's quality vs the init's quality — same
+    # sequence, since our body 1 evaluates the init). ``n_upd`` counts
+    # UPDATES APPLIED, the reference's iteration count.
+
     def cond(carry):
-        _, _, _, i, done = carry
-        return (~done) & (i < max_iters)
+        _, _, _, n_upd, done = carry
+        return (~done) & (n_upd < max_iters)
 
     def body(carry):
-        rt, prev_f, prev_r, i, _ = carry
+        rt, prev_f, prev_r, n_upd, _ = carry
         new_rt, fitness, rmse = one_iter(rt)
-        # Open3D: both quality deltas below tolerance -> converged (checked
-        # against the PREVIOUS iteration's quality; the first iteration
-        # compares against sentinel -1 values and can never stop early)
         done = ((jnp.abs(prev_f - fitness) < tol_f)
                 & (jnp.abs(prev_r - rmse) < tol_r))
-        return new_rt, fitness, rmse, i + 1, done
+        rt = jnp.where(done, rt, new_rt)
+        return rt, fitness, rmse, n_upd + jnp.where(done, 0, 1), done
 
     carry = (init, jnp.float32(-1.0), jnp.float32(-1.0), jnp.int32(0),
              jnp.bool_(False))

@@ -293,7 +293,12 @@ class PoseServer:
         with self._rr_lock:
             start = self._rr
             self._rr += 1
-        built = sorted(pool.replicas)
+        # snapshot under the registry lock: a background _build_replica
+        # publishes into pool.replicas concurrently, and iterating the
+        # live dict here can raise "dictionary changed size during
+        # iteration" mid-request exactly during scale-up
+        with self._reg_lock:
+            built = sorted(pool.replicas)
         for j in range(len(built)):
             i = built[(start + j) % len(built)]
             if self._dev_locks[i].acquire(blocking=False):

@@ -40,6 +40,25 @@ def cpu_cache_dir(base_dir):
     return os.path.join(base_dir, f"cpu-{machine_cache_key()}")
 
 
+def setup_script_cache(cpu=False, repo_root=None, min_compile_secs=1.0):
+    """One-call persistent-cache setup for scripts/harnesses: point JAX at
+    the repo's ``.jax_cache``, machine-keyed (``cpu_cache_dir``) when the
+    CPU backend is in use. Owns the cache policy in ONE place so the six
+    CPU-capable harnesses cannot drift (code-review r5)."""
+    import jax
+
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(
+            __file__)))
+    cache = os.path.join(repo_root, ".jax_cache")
+    if cpu:
+        cache = cpu_cache_dir(cache)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    return cache
+
+
 def enable_compile_cache(cache_dir, min_compile_secs=1.0):
     """Point JAX's persistent compilation cache at ``cache_dir``.
 

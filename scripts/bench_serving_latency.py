@@ -45,13 +45,8 @@ def setup_jax(small):
     import jax
     if small:
         jax.config.update("jax_platforms", "cpu")
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    if small:
-        # CPU AOT cache entries are machine code — key per host
-        from rcvpose_tpu.utils import cpu_cache_dir
-        cache = cpu_cache_dir(cache)
-    jax.config.update("jax_compilation_cache_dir", cache)
+    from rcvpose_tpu.utils import setup_script_cache
+    setup_script_cache(cpu=small)
     return jax
 
 

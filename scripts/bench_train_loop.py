@@ -49,14 +49,8 @@ def main():
     if small:
         # the environment's TPU plugin overrides JAX_PLATFORMS (conftest)
         jax.config.update("jax_platforms", "cpu")
-    from rcvpose_tpu.utils import cpu_cache_dir
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache")
-    if small:
-        cache = cpu_cache_dir(cache)  # CPU AOT entries are per-machine
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from rcvpose_tpu.utils import setup_script_cache
+    setup_script_cache(cpu=small)
 
     from rcvpose_tpu import checkpoint as ckpt_mod
     from rcvpose_tpu import parallel

@@ -23,15 +23,8 @@ def setup_jax(small):
 
     if small:
         jax.config.update("jax_platforms", "cpu")
-    from rcvpose_tpu.utils import cpu_cache_dir
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache")
-    if small:
-        # CPU AOT cache entries are machine code — key per host
-        cache = cpu_cache_dir(cache)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from rcvpose_tpu.utils import setup_script_cache
+    setup_script_cache(cpu=small)
 
 
 def per_kpt_max_radii_dm(cad_m, keypoints_m):

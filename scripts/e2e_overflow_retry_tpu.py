@@ -45,14 +45,8 @@ def main():
 
     if args.small:
         jax.config.update("jax_platforms", "cpu")
-    from rcvpose_tpu.utils import cpu_cache_dir
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache")
-    if args.small:
-        cache = cpu_cache_dir(cache)  # CPU AOT entries are per-machine
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from rcvpose_tpu.utils import setup_script_cache
+    setup_script_cache(cpu=args.small)
 
     import jax.numpy as jnp
 

@@ -150,16 +150,9 @@ def main():
     if args.small:
         jax.config.update("jax_platforms", "cpu")
     # persistent compile cache: the full-model train-step compile costs
-    # minutes on a single-core host; identical across reruns. CPU AOT
-    # entries are machine code — keyed per host (utils.cpu_cache_dir).
-    from rcvpose_tpu.utils import cpu_cache_dir
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache")
-    if args.small:
-        cache = cpu_cache_dir(cache)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # minutes on a single-core host; identical across reruns
+    from rcvpose_tpu.utils import setup_script_cache
+    setup_script_cache(cpu=args.small)
 
     from rcvpose_tpu import infer, labels, metrics, parallel
     from rcvpose_tpu import train as train_mod

@@ -40,9 +40,8 @@ def _jax_cpu(n_devices):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    from rcvpose_tpu.utils import cpu_cache_dir
-    jax.config.update("jax_compilation_cache_dir",
-                      cpu_cache_dir(os.path.join(REPO, ".jax_cache")))
+    from rcvpose_tpu.utils import setup_script_cache
+    setup_script_cache(cpu=True, repo_root=REPO)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return jax

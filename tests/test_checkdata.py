@@ -160,3 +160,97 @@ def test_lmo_checks(tmp_path, rng):
     os.remove(occ / "RGB-D" / "depth_noseg" / "depth_00000.png")
     errs = _errors(checkdata.check_lmo(str(tmp_path), "ape"))
     assert any("depth frame missing" in f.message for f in errs)
+
+
+def test_lmo_valid_tree_without_lm_training_dirs_passes(tmp_path, rng):
+    """A working LMO setup has OCCLUSION_LINEMOD plus ONLY the LINEMOD
+    class assets the LMO evaluator reads (<class>.ply + Outside9.npy) —
+    no Split/JPEGImages/pose/mask dirs. run_check(dataset=lmo) must not
+    flag the absent full-LM requirements as errors (code-review r5)."""
+    from PIL import Image
+
+    from rcvpose_tpu.config import Config
+
+    occ = tmp_path / "OCCLUSION_LINEMOD"
+    os.makedirs(occ / "RGB-D" / "rgb_noseg")
+    os.makedirs(occ / "RGB-D" / "depth_noseg")
+    os.makedirs(occ / "blender_poses" / "ape")
+    img = (rng.uniform(size=(60, 80, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(occ / "RGB-D" / "rgb_noseg"
+                              / "color_00000.png")
+    depth = np.zeros((60, 80), np.uint16)
+    depth[20:40, 30:50] = 800
+    Image.fromarray(depth.astype(np.int32)).save(
+        occ / "RGB-D" / "depth_noseg" / "depth_00000.png")
+    pose = np.eye(3, 4, dtype=np.float64)
+    pose[:, 3] = [0.0, 0.0, 0.8]
+    np.save(occ / "blender_poses" / "ape" / "pose0.npy", pose)
+    # the borrowed class assets, and NOTHING else under LINEMOD/ape
+    pv = tmp_path / "LINEMOD" / "ape"
+    os.makedirs(pv)
+    cad = rng.uniform(-0.05, 0.05, size=(500, 3))
+    with open(pv / "ape.ply", "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {len(cad)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "end_header\n")
+        for p in cad:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+    np.save(pv / "Outside9.npy", rng.uniform(-0.1, 0.1, size=(9, 3)))
+
+    cfg = Config(dataset="lmo", root_dataset=str(tmp_path),
+                 class_name="ape")
+    findings = checkdata.run_check(cfg, progress=lambda *_: None)
+    assert not _errors(findings), [str(f) for f in _errors(findings)]
+
+    # the borrowed eval ply IS load-bearing for LMO: its absence is ERROR
+    os.remove(pv / "ape.ply")
+    errs = _errors(checkdata.run_check(cfg, progress=lambda *_: None))
+    assert any("ape.ply" in f.path for f in errs)
+
+
+def test_lmo_stray_png_flagged_not_crashed(tmp_path, rng):
+    """A stray .png in rgb_noseg (preview.png, editor copy) must become
+    a WARN finding, not a ValueError in the frame-number parse — and the
+    evaluator's own frame filter now ignores it (code-review r5)."""
+    from PIL import Image
+
+    occ = tmp_path / "OCCLUSION_LINEMOD"
+    os.makedirs(occ / "RGB-D" / "rgb_noseg")
+    os.makedirs(occ / "RGB-D" / "depth_noseg")
+    os.makedirs(occ / "blender_poses" / "ape")
+    img = (rng.uniform(size=(60, 80, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(occ / "RGB-D" / "rgb_noseg"
+                              / "color_00000.png")
+    Image.fromarray(img).save(occ / "RGB-D" / "rgb_noseg" / "preview.png")
+    depth = np.zeros((60, 80), np.uint16)
+    depth[20:40, 30:50] = 800
+    Image.fromarray(depth.astype(np.int32)).save(
+        occ / "RGB-D" / "depth_noseg" / "depth_00000.png")
+    pose = np.eye(3, 4, dtype=np.float64)
+    pose[:, 3] = [0.0, 0.0, 0.8]
+    np.save(occ / "blender_poses" / "ape" / "pose0.npy", pose)
+
+    findings = checkdata.check_lmo(str(tmp_path), "ape")
+    assert not _errors(findings), [str(f) for f in _errors(findings)]
+    assert any("preview.png" in f.path and f.level == "WARN"
+               for f in findings)
+
+
+def test_corrupt_files_become_findings_not_tracebacks(tmp_path, rng):
+    """Truncated/corrupt data files must yield ERROR findings and the
+    walk must continue reporting the rest (code-review r5)."""
+    root = make_lm_eval_tree(tmp_path, rng)
+    pv = os.path.join(root, "LINEMOD", "ape")
+    with open(os.path.join(pv, "Outside9.npy"), "wb") as f:
+        f.write(b"\x93NUMPY garbage")          # corrupt npy header
+    frame_id = open(os.path.join(pv, "Split", "val.txt")).read().split()[0]
+    pose_p = os.path.join(pv, "pose", f"pose{int(frame_id)}.npy")
+    with open(pose_p, "wb") as f:
+        f.write(b"not a npy")
+    findings = checkdata.check_lm(root, "ape")
+    errs = _errors(findings)
+    assert any("unreadable keypoint" in f.message for f in errs)
+    assert any("unreadable pose" in f.message for f in errs)
+    # the walk continued past the corrupt files: later finds still present
+    assert any("depth" in f.path for f in findings)
