@@ -85,6 +85,29 @@ def test_run_train_end_to_end_with_resume(tmp_path, monkeypatch):
     cli.run_train(cfg2)
 
 
+def test_run_train_with_accum_steps(tmp_path):
+    """--accum_steps 2 through the full cli.run_train path: loader ->
+    make_parallel_steps(accum) -> microbatch-scanned step -> checkpoint.
+    Pins the CLI wiring (Trainer passes cfg.accum_steps through)."""
+    import numpy as np
+
+    from tests.test_data import make_linemod_tree
+
+    rng = np.random.default_rng(1)
+    root = make_linemod_tree(tmp_path, rng, h=32, w=64)
+    cfg = cli.config_from_args([
+        "--mode", "train", "--root_dataset", root,
+        "--class_name", "toy", "--batch_size", "2", "--accum_steps", "2",
+        "--max_iterations", "2", "--compute_dtype", "float32",
+        "--model_blocks", "1,1,1,1", "--model_width", "0.125",
+        "--out_dir", str(tmp_path / "logs")])
+    assert cfg.accum_steps == 2
+    cli.run_train(cfg)
+    from rcvpose_tpu import utils
+    assert os.path.isdir(os.path.join(utils.get_log_dir(cfg), "ckpts",
+                                      "ckpt"))
+
+
 def test_run_test_end_to_end(tmp_path):
     """cli.run_test dispatch: lm fixture tree -> evaluator results."""
     import numpy as np
