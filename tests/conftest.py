@@ -48,18 +48,33 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 # machine-keyed cache dir — so it is a process-aged XLA:CPU condition,
 # not framework native code and not stale foreign-machine AOT entries
 # (those are ALSO a real hazard; hence cpu_cache_dir above).
-# Mitigation: hoist test_train.py to the FRONT of the collection
-# (below) so the suite's biggest CPU compiles run in a lean process;
-# ordering between files carries no semantics in this suite.
+# Follow-up measurements localized it further: the abort tracks the
+# CUMULATIVE big-program load in one process, not process age —
+# front-loading every big file into one process made a warm-cache run
+# abort at 30% (test_eval_lm_format cache read), while xdist workers
+# each handling ~5 files pass 203/203 repeatedly. Mitigations shipped:
+# per-file worker processes are the DEFAULT for every pytest
+# invocation (pyproject.toml addopts: -n 4 --dist loadfile; override
+# with `-p no:xdist`), and the ordering below puts the big-program
+# files first, which doubles as xdist load balancing. Ordering between
+# files carries no semantics in this suite.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# big pjit/Pallas programs first, in rough size order
+_FRONT = ["test_train.py", "test_serve.py", "test_infer.py",
+          "test_eval_from_train.py", "test_cli.py",
+          "test_eval_lm_format.py", "test_eval_lmo_ycb_format.py",
+          "test_voting.py", "test_mmconv_pallas.py"]
+
 
 def pytest_collection_modifyitems(config, items):
-    front = [it for it in items if "test_train.py" in str(it.fspath)]
-    rest = [it for it in items if "test_train.py" not in str(it.fspath)]
-    items[:] = front + rest
+    def rank(it):
+        path = os.path.basename(str(it.fspath))
+        return _FRONT.index(path) if path in _FRONT else len(_FRONT)
+
+    items.sort(key=rank)  # stable: preserves in-file order
 
 
 @pytest.fixture
